@@ -1,24 +1,167 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.gen.TranscriptGen
+import graft.pipeline.QualityFilter
+
+/** Benchmark main (driver contract): runs headline queries on
+  * SPARK_GRAFT_SF_DIR at SPARK_GRAFT_CPUS, then measures the flagship
+  * quality-filter pipeline at two parallelism levels (N and 4N cores —
+  * the sandbox stand-in for N vs 4N executors per the driver
+  * instruction) on the SAME input, reporting throughput at both plus
+  * scaling efficiency. Prints ONE JSON line.
+  *
+  * Each scaling measurement runs in a FRESH forked JVM (the in-process
+  * stand-in for one spark-submit per cluster size): re-using one JVM
+  * across sessions was measured to add up to 3x wall-clock noise
+  * (codegen/JIT state, session teardown) that has nothing to do with
+  * the pipeline's scaling behavior.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      // fixed partition counts at BOTH parallelism levels: the N vs 4N
+      // comparison must vary only the core count, not the task layout
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("GRAFT_SHUFFLE_PARTS", "64"))
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
+      // the bench corpus is a handful of small parquet files; without
+      // this the scan stage (which carries the mapPartitions model
+      // scoring) coalesces to 1-2 partitions and the low-core run
+      // measures file-layout artifacts instead of compute scaling. At
+      // real scale (TBs of input) the default 128 MB split gives
+      // thousands of scan tasks and this override is unnecessary.
+      .config("spark.sql.files.maxPartitionBytes", sys.env.getOrElse("GRAFT_MAX_SPLIT", (2L << 20).toString))
+      .config("spark.sql.files.openCostInBytes", (64L << 10).toString)
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Pipeline wall-clock on a pre-written parquet corpus; the action
+    * touches every produced column (scrub text, lineage, scores). The
+    * plan is built ONCE and re-executed: re-analyzing per run generates
+    * fresh codegen classes (new expression ids), which re-pays janino +
+    * JIT warm-up and was measured to add up to 5x noise — steady-state
+    * throughput is what the scaling criterion compares.
+    */
+  private def pipelinePlan(spark: SparkSession, path: String) =
+    QualityFilter.run(spark, path)
+      .selectExpr("sum(length(scrubbed_text))", "sum(size(drop_reasons))",
+        "count(*)")
+
+  private def timed(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Child mode: one measurement in a pristine JVM. Prints the measured
+    * seconds (after one warm-up run) as `GRAFT_CHILD_SECS <v>`.
+    */
+  private def childMain(cores: Int, path: String): Unit = {
+    val s = session(cores)
+    if (sys.env.contains("GRAFT_BENCH_DEBUG")) {
+      import org.apache.spark.scheduler._
+      s.sparkContext.addSparkListener(new SparkListener {
+        private val maxTask = scala.collection.mutable.Map.empty[Int, Long]
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
+          maxTask(t.stageId) = math.max(maxTask.getOrElse(t.stageId, 0L), t.taskInfo.duration)
+        }
+        override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          val dur = i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)
+          System.err.println(f"GRAFT_STAGE id=${i.stageId} name=${i.name.takeWhile(_ != '\n')} dur=${dur / 1000.0}%.2f tasks=${i.numTasks} maxTask=${maxTask.getOrElse(i.stageId, 0L) / 1000.0}%.2f")
+        }
+      })
+    }
+    try {
+      import org.apache.spark.sql.graftshim.ColumnShim.reExecute
+      val plan = pipelinePlan(s, path)
+      timed(reExecute(plan).collect()) // warm-up: codegen + JIT
+      timed(reExecute(plan).collect())
+      System.err.println("GRAFT_CHILD_WARM_DONE")
+      val m = Seq(timed(reExecute(plan).collect()),
+        timed(reExecute(plan).collect()),
+        timed(reExecute(plan).collect())).min
+      println(f"GRAFT_CHILD_SECS $m%.3f")
+    } finally s.stop()
+  }
+
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  private def forkMeasure(cores: Int, path: String): Double = {
+    val java = sys.props("java.home") + "/bin/java"
+    val cmd = Seq(java) ++ addOpens ++ Seq(
+      "-Xmx8g", "-Dspark.ui.enabled=false",
+      "-cp", sys.props("java.class.path"),
+      "graft.Bench", "--child", cores.toString, path)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(false)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes())
+    proc.waitFor()
+    out.linesIterator.collectFirst {
+      case l if l.startsWith("GRAFT_CHILD_SECS") => l.split(" ")(1).toDouble
+    }.getOrElse(Double.NaN)
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length >= 3 && args(0) == "--child") {
+      childMain(args(1).toInt, args(2)); return
+    }
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val benchConvs = sys.env.getOrElse("GRAFT_BENCH_CONVS", "300000").toLong
+    val headlineNames = Seq(
+      "q1_pricing_agg", "q2_join_revenue", "a8_outlier_iqr",
+      "w1_window_sessions", "dd2_minhash_pairs", "ann1_brute_topk",
+      "dd1_dedup_exact", "ts1_token_quality")
+
+    // ---- headline queries at full parallelism
+    val spark = session(cpus)
+    val queries = headlineNames.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ---- scaling corpus (written once, read by both children)
+    val corpusPath = "/tmp/graft_bench_transcripts.parquet"
+    val nTurns = {
+      val ds = TranscriptGen.generate(spark, benchConvs, seed = 42L,
+        skewCap = 20000, partitions = cpus * 2)
+      ds.write.mode("overwrite").parquet(corpusPath)
+      spark.read.parquet(corpusPath).count()
+    }
     spark.stop()
+
+    val nLow = math.max(cpus / 4, 1)
+    val low = forkMeasure(nLow, corpusPath)
+    val high = forkMeasure(cpus, corpusPath)
+    val tpsLow = nTurns / low
+    val tpsHigh = nTurns / high
+    val eff = tpsHigh / (tpsLow * (cpus.toDouble / nLow))
+
+    val total = queries.map(_._2).sum + low + high
+    val qs = queries.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val scaling =
+      f"""{"turns":$nTurns,"n_cores":$nLow,"cores_4n":$cpus,"secs_n":$low%.3f,"secs_4n":$high%.3f,"turns_per_sec_n":$tpsLow%.1f,"turns_per_sec_4n":$tpsHigh%.1f,"scaling_efficiency":$eff%.3f}"""
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_turns_per_sec":${f"$tpsHigh%.1f"},"scaling":$scaling}""")
   }
 }

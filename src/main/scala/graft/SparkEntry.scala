@@ -1,13 +1,487 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftExpressions._
+import graft.gen.TranscriptGen
+import graft.ops.{Ann, Dedup, TextStats}
+import graft.pipeline.QualityFilter
+
+/** Driver contract: `entry` (flagship smoke), `queries` (one per
+  * operator; verified row/schema/hash against `oracleSql` run in DuckDB
+  * on the same parquet tables), `oracleSql` (ANSI SQL oracles; queries
+  * without an entry get a rows-only check).
+  *
+  * Query keys reference SURVEY.md §2 operator ids.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: the quality-filter pipeline over a deterministic
+    * synthetic transcript corpus (BASELINE.json north_rule). Driver
+    * smoke-checks rows > 0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    QualityFilter.label(TranscriptGen.generate(spark, 200, seed = 42L, skewCap = 500))
+
+  // Sentinel list shared with the f1 oracle below.
+  private val sentinelsSql = "('', '-', '?', '!', '=', 'nan', 'NULL', 'MISSINGVALUE')"
+  private val sentinels = Seq("", "-", "?", "!", "=", "nan", "NULL", "MISSINGVALUE")
+
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\+?[0-9](?:[0-9()\\-. ]{6,14})[0-9]"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---------------------------------------------------- profiling (A*)
+    "a1_count_rows" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(count(lit(1)).as("n_rows"))
+    }),
+
+    "a4_case_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.groupBy(col("lang")).agg(
+          count(lit(1)).as("n"),
+          sum(when(col("text") === upper(col("text")), 1).otherwise(0)).cast("long").as("n_upper"),
+          sum(when(col("text") === lower(col("text")), 1).otherwise(0)).cast("long").as("n_lower"))
+        .orderBy(col("lang"))
+    }),
+
+    "a5_minmax_profile" -> ((s, dir) => {
+      t(s, dir, "orders").agg(
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("min_date"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("max_date"),
+        min(length(col("o_orderpriority"))).as("min_len"),
+        max(length(col("o_orderpriority"))).as("max_len"))
+    }),
+
+    "a6_mean_stddev" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        round(avg(col("l_quantity")), 4).as("mean_qty"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(avg(col("l_extendedprice")), 2).as("mean_price"))
+    }),
+
+    "a7_outlier_z" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val stats = li.agg(avg(col("l_extendedprice")).as("mu"),
+        stddev_samp(col("l_extendedprice")).as("sd"))
+      li.crossJoin(stats)
+        .where(abs((col("l_extendedprice") - col("mu")) / col("sd")) > 1.5)
+        .agg(count(lit(1)).as("n_outliers"))
+    }),
+
+    "a8_outlier_iqr" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val q = li.agg(
+        percentile(col("l_extendedprice"), lit(0.25)).as("q1"),
+        percentile(col("l_extendedprice"), lit(0.75)).as("q3"))
+      li.crossJoin(q)
+        .where(col("l_extendedprice") < col("q1") - (col("q3") - col("q1")) * 1.5 ||
+               col("l_extendedprice") > col("q3") + (col("q3") - col("q1")) * 1.5)
+        .agg(count(lit(1)).as("n_outliers"))
+    }),
+
+    "a9_dup_groups" -> ((s, dir) => {
+      val g = t(s, dir, "lineitem").groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("cnt"))
+      g.agg(
+        sum(when(col("cnt") > 1, 1).otherwise(0)).cast("long").as("n_groups_gt1"),
+        sum(when(col("cnt") > 1, col("cnt") - 1).otherwise(0)).cast("long").as("n_extra_rows"))
+    }),
+
+    "a10_dup_rows" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_partkey"), col("l_suppkey"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") > 1)
+        .agg(count(lit(1)).as("n_dup_rows"))
+    }),
+
+    "a12_1nf_multitoken" -> ((s, dir) => {
+      t(s, dir, "part").agg(
+        sum(when(col("p_name").rlike("^\\S+([ ,;-]\\S+)+$"), 1).otherwise(0))
+          .cast("long").as("n_multitoken"),
+        count(lit(1)).as("n_rows"))
+    }),
+
+    "a15_word_count" -> ((s, dir) => {
+      t(s, dir, "documents").groupBy(col("lang"))
+        .agg(round(avg(TextStats.tokenCountCol(col("text"))), 4).as("avg_tokens"))
+        .orderBy(col("lang"))
+    }),
+
+    // ------------------------------------------- row-level checks (F*)
+    "f1_missing_sentinels" -> ((s, dir) => {
+      t(s, dir, "documents").agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("text").isNull || trim(col("text")).isin(sentinels: _*), 1)
+          .otherwise(0)).cast("long").as("n_missing"))
+    }),
+
+    "f4_regex_scan" -> ((s, dir) => {
+      // texts in the corpus are clean; append deterministic dirt so the
+      // violation scans actually fire (same construction in the oracle)
+      val dirty = concat(col("text"),
+        when(col("doc_id") % 7 === 0, lit("  double  space"))
+          .when(col("doc_id") % 11 === 0, lit(" w@ird ch@rs!!"))
+          .otherwise(lit("")))
+      t(s, dir, "documents").select(col("source"), dirty.as("dirty"))
+        .groupBy(col("source")).agg(
+          sum(when(col("dirty").rlike("\\s{2,}"), 1).otherwise(0)).cast("long").as("n_ws"),
+          sum(when(col("dirty").rlike("[^a-zA-Z0-9\\s]"), 1).otherwise(0)).cast("long").as("n_special"))
+        .orderBy(col("source"))
+    }),
+
+    "f9_anti_dict" -> ((s, dir) => {
+      val allowed = s.createDataFrame(Seq(Tuple1("EN"), Tuple1("FR"), Tuple1("DE")))
+        .toDF("allowed_lang")
+      t(s, dir, "documents")
+        .join(broadcast(allowed), upper(col("lang")) === col("allowed_lang"), "left_anti")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"))
+    }),
+
+    // --------------------------------------------------------- joins (J*)
+    "j2_suggest_join" -> ((s, dir) => {
+      val anomalies = s.createDataFrame(Seq(
+        Tuple1("NATON_3"), Tuple1("NATIION_12"), Tuple1("NATOIN_7"),
+        Tuple1("NATION 21"), Tuple1("nation_5"), Tuple1("XQZVWK")
+      )).toDF("val")
+      val scored = anomalies.crossJoin(broadcast(t(s, dir, "nation")))
+        .select(col("val"), col("n_name"),
+          round(jaro_winkler(upper(col("val")), upper(col("n_name"))), 6).as("sim"))
+        .where(col("sim") >= 0.85)
+      val w = Window.partitionBy(col("val")).orderBy(col("sim").desc, col("n_name").asc)
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("val"), col("n_name").as("suggestion"), col("sim"))
+        .orderBy(col("val"))
+    }),
+
+    "j4_translate_lookup" -> ((s, dir) => {
+      t(s, dir, "nation").join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"), "left")
+        .select(col("n_name"), coalesce(col("r_name"), lit("")).as("region"))
+        .orderBy(col("n_name"))
+    }),
+
+    "jw1_jaro_winkler" -> ((s, dir) => {
+      val n1 = t(s, dir, "nation").select(col("n_nationkey").as("k1"), col("n_name").as("a"))
+      val n2 = t(s, dir, "nation").select(col("n_nationkey").as("k2"), col("n_name").as("b"))
+      n1.crossJoin(broadcast(n2)).where(col("k1") < col("k2"))
+        .select(col("a"), col("b"), round(jaro_winkler(col("a"), col("b")), 6).as("sim"))
+        .where(col("sim") > 0.5)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    "q2_join_revenue" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("n_name"))
+    }),
+
+    // --------------------------------------------------- classic agg/sort
+    "q1_pricing_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "o1_topk_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("total"))
+        .orderBy(col("total").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    // ------------------------------------------------------ windows (W*)
+    "w1_window_sessions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("gap",
+          unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("gap").isNull || col("gap") > 1800, 1).otherwise(0))
+            .cast("long").as("n_sessions"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ------------------------------------------------------- scrubs (C*)
+    "c6_scrub_email" -> ((s, dir) => {
+      val dirty = concat(lit("reach "), col("source"), lit("_"),
+        col("doc_id").cast("string"), lit("@corp.example.com or bob.smith"),
+        col("doc_id").cast("string"), lit("@mail.org done"))
+      t(s, dir, "documents").where(col("doc_id") < 40)
+        .select(col("doc_id"), regexp_replace(dirty, emailRe, "<EMAIL>").as("scrubbed"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "c7_scrub_phone" -> ((s, dir) => {
+      val digits = lpad(((col("doc_id") * 977) % 1000000000).cast("string"), 9, "0")
+      val dirty = concat(lit("call +33"), digits, lit(" now or (415) 555-01"),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit(" later"))
+      t(s, dir, "documents").where(col("doc_id") < 40)
+        .select(col("doc_id"), regexp_replace(dirty, phoneRe, "<PHONE>").as("scrubbed"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ------------------------------------------------- dedup suite (DD*)
+    "dd1_dedup_exact" -> ((s, dir) => {
+      Dedup.exactStats(t(s, dir, "documents"), "text")
+    }),
+
+    "dd2_minhash_pairs" -> ((s, dir) => {
+      Dedup.minHashPairs(t(s, dir, "documents"), "text", "doc_id",
+          numHashes = 64, bands = 16, shingleK = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "dd3_simhash_pairs" -> ((s, dir) => {
+      Dedup.simHashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "dd4_consecutive_jaccard" -> ((s, dir) => {
+      Dedup.consecutiveJaccard(
+          t(s, dir, "documents").where(col("doc_id") < 50), "text", "doc_id", 2)
+        .orderBy(col("id_a"))
+    }),
+
+    // ---------------------------------------------------- ANN suite (ANN*)
+    "ann1_brute_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Ann.bruteForceTopK(e, e.where(col("vec_id") < 8), k = 3)
+        .orderBy(col("qid"), col("nid"))
+    }),
+
+    "ann2_lsh_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Ann.lshTopK(e, e.where(col("vec_id") < 8), k = 3, tables = 8, bits = 8)
+        .orderBy(col("qid"), col("nid"))
+    }),
+
+    "ann3_embed_neardup" -> ((s, dir) => {
+      Ann.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.35)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ------------------------------------------------- text analysis (TS*)
+    "ts1_token_quality" -> ((s, dir) => {
+      t(s, dir, "documents").where(col("doc_id") < 40)
+        .select(col("doc_id"),
+          TextStats.tokenCountCol(col("text")).as("n_tokens"),
+          round(TextStats.stopwordRatioCol(col("text")), 6).as("stopword_ratio"),
+          round(TextStats.symbolRatioCol(col("text")), 6).as("symbol_ratio"),
+          TextStats.qualityScoreCol(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "ts2_fingerprint" -> ((s, dir) => {
+      // fingerprint is whitespace/case-insensitive: fp(text) must equal
+      // fp of the uppercased double-spaced variant
+      t(s, dir, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id"),
+          TextStats.fingerprintCol(col("text")).as("fp"),
+          (TextStats.fingerprintCol(col("text")) ===
+            TextStats.fingerprintCol(upper(regexp_replace(col("text"), " ", "  "))))
+            .as("stable"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -------------------------------------------------- flagship pipeline
+    "qf1_quality_filter" -> ((s, _) => {
+      QualityFilter.label(TranscriptGen.generate(s, 500, seed = 42L, skewCap = 2000))
+        .select(col("conv_id"), col("turn_idx"), col("keep"),
+          concat_ws("|", col("drop_reasons")).as("reasons"),
+          col("scrubbed_text"), col("lang"), round(col("ppl"), 4).as("ppl"))
+        .orderBy(col("conv_id"), col("turn_idx"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "a1_count_rows" ->
+      "SELECT count(*) AS n_rows FROM lineitem",
+
+    "a4_case_stats" ->
+      """SELECT lang, count(*) AS n,
+         CAST(sum(CASE WHEN text = upper(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_upper,
+         CAST(sum(CASE WHEN text = lower(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_lower
+         FROM documents GROUP BY lang ORDER BY lang""",
+
+    "a5_minmax_profile" ->
+      """SELECT round(min(o_totalprice), 2) AS min_price,
+         round(max(o_totalprice), 2) AS max_price,
+         strftime(min(o_orderdate), '%Y-%m-%d') AS min_date,
+         strftime(max(o_orderdate), '%Y-%m-%d') AS max_date,
+         min(length(o_orderpriority)) AS min_len,
+         max(length(o_orderpriority)) AS max_len
+         FROM orders""",
+
+    "a6_mean_stddev" ->
+      """SELECT round(avg(l_quantity), 4) AS mean_qty,
+         round(stddev_samp(l_quantity), 4) AS sd_qty,
+         round(avg(l_extendedprice), 2) AS mean_price
+         FROM lineitem""",
+
+    "a7_outlier_z" ->
+      """WITH s AS (SELECT avg(l_extendedprice) AS mu, stddev_samp(l_extendedprice) AS sd FROM lineitem)
+         SELECT count(*) AS n_outliers FROM lineitem, s
+         WHERE abs((l_extendedprice - mu) / sd) > 1.5""",
+
+    "a8_outlier_iqr" ->
+      """WITH q AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+                           quantile_cont(l_extendedprice, 0.75) AS q3 FROM lineitem)
+         SELECT count(*) AS n_outliers FROM lineitem, q
+         WHERE l_extendedprice < q1 - (q3 - q1) * 1.5
+            OR l_extendedprice > q3 + (q3 - q1) * 1.5""",
+
+    "a9_dup_groups" ->
+      """WITH g AS (SELECT l_partkey, l_suppkey, count(*) AS cnt
+                    FROM lineitem GROUP BY l_partkey, l_suppkey)
+         SELECT CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_gt1,
+                CAST(sum(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS BIGINT) AS n_extra_rows
+         FROM g""",
+
+    "a10_dup_rows" ->
+      """SELECT count(*) AS n_dup_rows FROM (
+           SELECT row_number() OVER (PARTITION BY l_partkey, l_suppkey
+                                     ORDER BY l_orderkey, l_linenumber) AS rn
+           FROM lineitem) WHERE rn > 1""",
+
+    "a12_1nf_multitoken" ->
+      """SELECT CAST(sum(CASE WHEN regexp_matches(p_name, '^\S+([ ,;-]\S+)+$') THEN 1 ELSE 0 END) AS BIGINT) AS n_multitoken,
+                count(*) AS n_rows FROM part""",
+
+    "a15_word_count" ->
+      """SELECT lang, round(avg(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens
+         FROM documents GROUP BY lang ORDER BY lang""",
+
+    "f1_missing_sentinels" ->
+      s"""SELECT count(*) AS n_rows,
+          CAST(sum(CASE WHEN text IS NULL OR trim(text) IN $sentinelsSql THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+          FROM documents""",
+
+    "f4_regex_scan" ->
+      """WITH d AS (SELECT source, text ||
+           CASE WHEN doc_id % 7 = 0 THEN '  double  space'
+                WHEN doc_id % 11 = 0 THEN ' w@ird ch@rs!!'
+                ELSE '' END AS dirty FROM documents)
+         SELECT source,
+           CAST(sum(CASE WHEN regexp_matches(dirty, '\s{2,}') THEN 1 ELSE 0 END) AS BIGINT) AS n_ws,
+           CAST(sum(CASE WHEN regexp_matches(dirty, '[^a-zA-Z0-9\s]') THEN 1 ELSE 0 END) AS BIGINT) AS n_special
+         FROM d GROUP BY source ORDER BY source""",
+
+    "f9_anti_dict" ->
+      """SELECT lang, count(*) AS n FROM documents
+         WHERE upper(lang) NOT IN ('EN', 'FR', 'DE')
+         GROUP BY lang ORDER BY lang""",
+
+    "j2_suggest_join" ->
+      """WITH anom(val) AS (VALUES ('NATON_3'), ('NATIION_12'), ('NATOIN_7'),
+                                   ('NATION 21'), ('nation_5'), ('XQZVWK')),
+         s AS (SELECT val, n_name,
+                 round(jaro_winkler_similarity(upper(val), upper(n_name)), 6) AS sim
+               FROM anom, nation)
+         SELECT val, n_name AS suggestion, sim FROM (
+           SELECT *, row_number() OVER (PARTITION BY val ORDER BY sim DESC, n_name) AS rn
+           FROM s WHERE sim >= 0.85)
+         WHERE rn = 1 ORDER BY val""",
+
+    "j4_translate_lookup" ->
+      """SELECT n_name, coalesce(r_name, '') AS region
+         FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
+         ORDER BY n_name""",
+
+    "jw1_jaro_winkler" ->
+      """SELECT a, b, sim FROM (
+           SELECT n1.n_name AS a, n2.n_name AS b,
+                  round(jaro_winkler_similarity(n1.n_name, n2.n_name), 6) AS sim
+           FROM nation n1, nation n2 WHERE n1.n_nationkey < n2.n_nationkey)
+         WHERE sim > 0.5 ORDER BY a, b""",
+
+    "q2_join_revenue" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+                     JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+
+    "q1_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base,
+         round(avg(l_discount), 6) AS avg_disc,
+         count(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "o1_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+         FROM orders ORDER BY round(o_totalprice, 2) DESC, o_orderkey LIMIT 10""",
+
+    "w1_window_sessions" ->
+      """WITH g AS (SELECT user_id,
+           epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+           FROM events)
+         SELECT user_id, count(*) AS n_events,
+           CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+         FROM g GROUP BY user_id ORDER BY user_id""",
+
+    "c6_scrub_email" ->
+      """SELECT doc_id, regexp_replace(
+           'reach ' || source || '_' || CAST(doc_id AS VARCHAR) ||
+           '@corp.example.com or bob.smith' || CAST(doc_id AS VARCHAR) || '@mail.org done',
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS scrubbed
+         FROM documents WHERE doc_id < 40 ORDER BY doc_id""",
+
+    "c7_scrub_phone" ->
+      """SELECT doc_id, regexp_replace(
+           'call +33' || lpad(CAST((doc_id * 977) % 1000000000 AS VARCHAR), 9, '0') ||
+           ' now or (415) 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' later',
+           '\+?[0-9](?:[0-9()\-. ]{6,14})[0-9]', '<PHONE>', 'g') AS scrubbed
+         FROM documents WHERE doc_id < 40 ORDER BY doc_id""",
+
+    "dd1_dedup_exact" ->
+      "SELECT count(*) AS n_rows, count(DISTINCT text) AS n_unique FROM documents",
+
+    "ann1_brute_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 8),
+         s AS (SELECT qid, vec_id AS nid,
+                 round(list_cosine_similarity(CAST(qvec AS DOUBLE[]), CAST(embedding AS DOUBLE[])), 4) AS sim
+               FROM q, embeddings WHERE vec_id <> qid)
+         SELECT qid, nid, sim FROM (
+           SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s)
+         WHERE rn <= 3 ORDER BY qid, nid""",
+
+    "ts1_token_quality" ->
+      """SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           round(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE) /
+             len(string_split_regex(lower(trim(text)), '\s+')), 6) AS stopword_ratio,
+           round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+             / length(text), 6) AS symbol_ratio,
+           round(least(length(text) / 200.0, 1.0) * 0.4 +
+                 greatest(0.0, 1.0 - (CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text)) * 3.0) * 0.4 +
+                 least(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                   x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE) /
+                   len(string_split_regex(lower(trim(text)), '\s+')) * 5.0, 1.0) * 0.2, 6) AS quality
+         FROM documents WHERE doc_id < 40 ORDER BY doc_id"""
+  )
 }

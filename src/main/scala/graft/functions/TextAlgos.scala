@@ -1,0 +1,284 @@
+package graft.functions
+
+import scala.collection.mutable
+
+/** Pure, allocation-conscious text algorithms. These are the single
+  * implementations called from (a) the Catalyst expressions in
+  * [[Expressions]] (inside whole-stage codegen via static calls), (b) the
+  * sequential golden oracle, and (c) driver-side tests — so the
+  * distributed and sequential paths cannot diverge.
+  *
+  * Everything here is a pure function of its arguments (no wall-clock,
+  * no global RNG) — bit-stable across partitioning (SURVEY.md §7.5 #3).
+  */
+object TextAlgos {
+
+  /** Fraction of distinct char n-grams among all char n-grams of `s`
+    * (lowercased by the caller if wanted). Returns 1.0 when there are
+    * fewer than 2 grams (nothing to repeat).
+    */
+  def distinctNgramFraction(s: String, n: Int): Double = {
+    if (s == null) return 1.0
+    val total = s.length - n + 1
+    if (total < 2) return 1.0
+    // hash-set over 64-bit gram fingerprints; collision probability is
+    // negligible and identical on every path (deterministic hashing).
+    val seen = new java.util.HashSet[Long](math.min(total, 1 << 16))
+    var i = 0
+    var distinct = 0
+    while (i < total) {
+      var h = 1125899906842597L
+      var j = 0
+      while (j < n) { h = 31L * h + s.charAt(i + j); j += 1 }
+      if (seen.add(h)) distinct += 1
+      i += 1
+    }
+    distinct.toDouble / total.toDouble
+  }
+
+  /** Fraction of chars that are neither letter, digit, nor whitespace. */
+  def symbolDensity(s: String): Double = {
+    if (s == null || s.isEmpty) return 0.0
+    var i = 0
+    var sym = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!Character.isLetterOrDigit(c) && !Character.isWhitespace(c)) sym += 1
+      i += 1
+    }
+    sym.toDouble / s.length.toDouble
+  }
+
+  /** Whitespace-delimited token count (A15 analog, utils.py:663-664). */
+  def tokenCount(s: String): Int = {
+    if (s == null) return 0
+    var i = 0
+    var n = 0
+    var inTok = false
+    while (i < s.length) {
+      val ws = Character.isWhitespace(s.charAt(i))
+      if (!ws && !inTok) { n += 1; inTok = true }
+      else if (ws) inTok = false
+      i += 1
+    }
+    n
+  }
+
+  /** Jaro similarity of two strings (0..1). Standard definition as in
+    * pg_similarity's jarowinkler (reference
+    * init-scripts/init-user-db.sh:7, used functions.sql:1704-1708) and
+    * DuckDB's jaro_winkler_similarity.
+    */
+  def jaro(s1: String, s2: String): Double = {
+    if (s1 == null || s2 == null) return 0.0
+    val l1 = s1.length
+    val l2 = s2.length
+    if (l1 == 0 && l2 == 0) return 1.0
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max(math.max(l1, l2) / 2 - 1, 0)
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var matches = 0
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(l2 - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var transpositions = 0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) transpositions += 1
+        k += 1
+      }
+      i += 1
+    }
+    val m = matches.toDouble
+    (m / l1 + m / l2 + (m - transpositions / 2.0) / m) / 3.0
+  }
+
+  /** Jaro-Winkler with the standard prefix boost (p=0.1, max prefix 4,
+    * boost threshold 0.7) — matches DuckDB's jaro_winkler_similarity and
+    * pg_similarity defaults.
+    */
+  def jaroWinkler(s1: String, s2: String): Double = {
+    val j = jaro(s1, s2)
+    if (j <= 0.7) return j
+    var prefix = 0
+    val max = math.min(4, math.min(
+      if (s1 == null) 0 else s1.length,
+      if (s2 == null) 0 else s2.length))
+    while (prefix < max && s1.charAt(prefix) == s2.charAt(prefix)) prefix += 1
+    j + prefix * 0.1 * (1.0 - j)
+  }
+
+  // ------------------------------------------------------------ hashing
+
+  /** splitmix64 — deterministic 64-bit mixer used everywhere we need a
+    * seeded hash (minhash permutations, synthetic data generation).
+    */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** 64-bit fingerprint of a string (FNV-1a over UTF-16 code units,
+    * then mixed). Deterministic across JVMs (no String.hashCode reliance
+    * on anything version-specific — String.hashCode is actually spec'd,
+    * but we keep our own for clarity and 64 bits).
+    */
+  def hash64(s: String): Long = {
+    if (s == null) return 0L
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    mix64(h)
+  }
+
+  /** Rolling polynomial document fingerprint over whitespace-normalized
+    * lowercase tokens (document fingerprinting for near-dup candidate
+    * keys). Pure function of token content — insensitive to extra
+    * whitespace and case.
+    */
+  def docFingerprint(s: String): Long = {
+    if (s == null) return 0L
+    var h = 0xcbf29ce484222325L
+    val lower = s.toLowerCase
+    var i = 0
+    var prevWs = true
+    while (i < lower.length) {
+      val c = lower.charAt(i)
+      val ws = Character.isWhitespace(c)
+      if (!ws) {
+        if (prevWs && h != 0xcbf29ce484222325L) { h ^= ' '.toLong; h *= 0x100000001b3L }
+        h ^= c.toLong
+        h *= 0x100000001b3L
+      }
+      prevWs = ws
+      i += 1
+    }
+    mix64(h)
+  }
+
+  /** Word k-shingle fingerprints of a document (lowercased, whitespace
+    * tokenized). Used by minhash / ngram-jaccard dedup.
+    */
+  def shingles(s: String, k: Int): Array[Long] = {
+    if (s == null) return Array.emptyLongArray
+    val toks = s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < k) {
+      if (toks.isEmpty) Array.emptyLongArray
+      else Array(hash64(toks.mkString(" ")))
+    } else {
+      val out = new Array[Long](toks.length - k + 1)
+      var i = 0
+      while (i + k <= toks.length) {
+        var h = 0xcbf29ce484222325L
+        var j = i
+        while (j < i + k) {
+          val t = toks(j)
+          var p = 0
+          while (p < t.length) { h ^= t.charAt(p).toLong; h *= 0x100000001b3L; p += 1 }
+          h ^= ' '.toLong; h *= 0x100000001b3L
+          j += 1
+        }
+        out(i) = mix64(h)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded permutations,
+    * the minimum of mix64(shingle ^ seed_i). Empty doc → Long.MaxValue
+    * rows (never collides with real signatures in band buckets because
+    * callers filter empty docs).
+    */
+  def minHashSignature(sh: Array[Long], numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      var h = 0
+      while (h < numHashes) {
+        val v = mix64(sh(i) ^ mix64(h.toLong * 0x9e3779b97f4a7c15L + 1))
+        if (v < sig(h)) sig(h) = v
+        h += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash over word 2-shingles. */
+  def simHash(s: String): Long = {
+    val sh = shingles(s, 2)
+    if (sh.isEmpty) return 0L
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < sh.length) {
+      val h = sh(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Jaccard similarity of the k-shingle sets of two strings. */
+  def ngramJaccard(a: String, b: String, k: Int): Double = {
+    val sa = shingles(a, k)
+    val sb = shingles(b, k)
+    if (sa.isEmpty && sb.isEmpty) return 1.0
+    if (sa.isEmpty || sb.isEmpty) return 0.0
+    val setA = new java.util.HashSet[Long]()
+    sa.foreach(setA.add)
+    val setB = new java.util.HashSet[Long]()
+    sb.foreach(setB.add)
+    var inter = 0
+    val it = setA.iterator()
+    while (it.hasNext) if (setB.contains(it.next())) inter += 1
+    inter.toDouble / (setA.size + setB.size - inter).toDouble
+  }
+
+  /** Cosine similarity of two float vectors (0 if either norm is 0).
+    * Fixed left-to-right accumulation order → bit-stable.
+    */
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    if (a == null || b == null || a.length != b.length) return 0.0
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}

@@ -1,0 +1,98 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iceberg-shaped snapshot table on plain Parquet (no Iceberg runtime
+  * jar offline — SURVEY.md §7.4): versioned manifests + atomic version
+  * pointer give append/overwrite-by-bucket semantics, snapshot reads,
+  * and checkpoint-resume. The interface is deliberately minimal so a
+  * real Iceberg catalog drops in behind it via config.
+  *
+  * Layout:
+  *   <root>/data/bucket=<k>/part-*.parquet   (one dir per commit unit)
+  *   <root>/_graft/manifest-v<N>.json        (snapshot N: completed buckets)
+  *   <root>/_graft/VERSION                   (current snapshot pointer,
+  *                                            updated by atomic rename)
+  *
+  * Readers only see buckets listed in the current manifest, so a crash
+  * mid-bucket leaves garbage files but never a dirty read (the
+  * reference's table-snapshot copy, utils.py:1424-1441, reproduced as
+  * snapshot isolation instead of a physical copy).
+  */
+final class SnapshotTable(val root: String, val nBuckets: Int) {
+  private val meta: Path = Paths.get(root, "_graft")
+  private val versionFile: Path = meta.resolve("VERSION")
+
+  Files.createDirectories(meta)
+  Files.createDirectories(Paths.get(root, "data"))
+
+  def currentVersion: Int =
+    if (Files.exists(versionFile))
+      new String(Files.readAllBytes(versionFile), StandardCharsets.UTF_8).trim.toInt
+    else 0
+
+  /** Buckets committed as of the current snapshot. */
+  def completedBuckets: Set[Int] = {
+    val v = currentVersion
+    if (v == 0) Set.empty
+    else {
+      val txt = new String(
+        Files.readAllBytes(meta.resolve(s"manifest-v$v.json")), StandardCharsets.UTF_8)
+      // manifest format: {"snapshot":N,"parent":M,"buckets":[1,2,...]}
+      val m = "\"buckets\"\\s*:\\s*\\[([0-9,\\s]*)\\]".r
+      m.findFirstMatchIn(txt) match {
+        case Some(g) if g.group(1).trim.nonEmpty =>
+          g.group(1).split(",").map(_.trim.toInt).toSet
+        case _ => Set.empty
+      }
+    }
+  }
+
+  /** Write one bucket's rows and commit it to a new snapshot. The data
+    * write is idempotent (overwrite of the bucket dir); the commit is
+    * the atomic VERSION rename — a re-run after a crash between the two
+    * simply overwrites and re-commits.
+    */
+  def commitBucket(df: DataFrame, bucket: Int): Int = {
+    df.write.mode("overwrite").parquet(s"$root/data/bucket=$bucket")
+    commitBuckets(Set(bucket))
+  }
+
+  /** Record buckets (already written) in a new snapshot. */
+  def commitBuckets(buckets: Set[Int]): Int = {
+    val v = currentVersion
+    val newV = v + 1
+    val all = (completedBuckets ++ buckets).toSeq.sorted
+    val json =
+      s"""{"snapshot":$newV,"parent":$v,"buckets":[${all.mkString(",")}]}"""
+    Files.write(meta.resolve(s"manifest-v$newV.json"),
+      json.getBytes(StandardCharsets.UTF_8))
+    val tmp = meta.resolve(s"VERSION.tmp$newV")
+    Files.write(tmp, newV.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, versionFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    newV
+  }
+
+  /** Snapshot read: only committed buckets are visible. */
+  def read(spark: SparkSession): DataFrame = {
+    val done = completedBuckets
+    if (done.isEmpty) {
+      spark.emptyDataFrame
+    } else {
+      val paths = done.toSeq.sorted.map(b => s"$root/data/bucket=$b")
+      spark.read.parquet(paths: _*)
+    }
+  }
+}
+
+object SnapshotTable {
+  def apply(root: String, nBuckets: Int): SnapshotTable =
+    new SnapshotTable(root, nBuckets)
+}

@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAlgos.mix64
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k (exact; broadcast the query set,
+  * no shuffle of the corpus). Scale path: signed-random-projection LSH
+  * (deterministic seeded hyperplanes) — candidates share a signature
+  * bucket, so the corpus scan is an equi-join on a 64-bit key instead
+  * of a cross join; recall is tunable via number of tables/bits.
+  */
+object Ann {
+
+  /** Cosine similarity of two float-array columns using codegen'd
+    * builtins only (zip_with + aggregate), computed in double precision.
+    */
+  def cosineCol(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val nb = aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    when(na === 0.0 || nb === 0.0, lit(0.0))
+      .otherwise(dot / sqrt(na * nb))
+  }
+
+  /** Exact top-k: crossJoin(broadcast(queries)) → cosine → per-query
+    * top-k window. At 100 TB corpus scale this is one full scan per
+    * batch of queries — the right baseline, embarrassingly parallel,
+    * zero shuffle except the final per-query top-k (tiny).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     roundTo: Int = 4): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val scored = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+      .crossJoin(broadcast(q))
+      .where(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(cosineCol(col("qvec"), col("nvec")), roundTo).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("sim"))
+  }
+
+  /** Deterministic hyperplane for (seed, table, bit, dim). */
+  private def hyperplaneComponent(seed: Long, table: Int, bit: Int, d: Int): Double = {
+    // uniform in [-1, 1) from splitmix64 — adequate for SRP-LSH
+    val h = mix64(seed ^ (table.toLong << 40) ^ (bit.toLong << 20) ^ d.toLong)
+    (h >>> 11).toDouble / (1L << 52).toDouble - 1.0
+  }
+
+  /** Signed-random-projection signature (one long per table). */
+  private def srpSigUdf(seed: Long, tables: Int, bits: Int) =
+    udf((vec: Seq[Float]) => {
+      if (vec == null) null
+      else {
+        val out = new Array[Long](tables)
+        var t = 0
+        while (t < tables) {
+          var sig = 0L
+          var b = 0
+          while (b < bits) {
+            var dot = 0.0
+            var d = 0
+            while (d < vec.length) {
+              dot += vec(d).toDouble * hyperplaneComponent(seed, t, b, d)
+              d += 1
+            }
+            if (dot > 0) sig |= (1L << b)
+            b += 1
+          }
+          out(t) = sig
+          t += 1
+        }
+        out
+      }
+    })
+
+  /** LSH-bucketed ANN: queries and corpus are hashed into `tables`
+    * signature buckets; candidates = bucket collisions in ANY table;
+    * exact cosine re-rank of candidates only. Shuffles (bucket, id)
+    * pairs instead of scanning the whole corpus per query.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              tables: Int = 8, bits: Int = 12, seed: Long = 42L,
+              roundTo: Int = 4): DataFrame = {
+    val sig = srpSigUdf(seed, tables, bits)
+    def bucketed(df: DataFrame, id: String, vec: String) = df
+      .select(col(idCol).as(id), col(vecCol).as(vec),
+        posexplode(sig(col(vecCol))))
+      .select(col(id), col(vec), col("pos").as("tbl"), col("col").as("bucket"))
+
+    val c = bucketed(corpus, "nid", "nvec")
+    val q = bucketed(queries, "qid", "qvec")
+    val cand = q.join(c, Seq("tbl", "bucket"))
+      .where(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), col("qvec"), col("nvec"))
+      .dropDuplicates("qid", "nid")
+    val scored = cand.select(col("qid"), col("nid"),
+      round(cosineCol(col("qvec"), col("nvec")), roundTo).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("sim"))
+  }
+
+  /** Embedding near-duplicate pairs: same SRP bucketing, self-join,
+    * cosine ≥ threshold.
+    */
+  def cosineNearDupPairs(df: DataFrame, threshold: Double,
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         tables: Int = 8, bits: Int = 12, seed: Long = 42L): DataFrame = {
+    val sig = srpSigUdf(seed, tables, bits)
+    val b = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        posexplode(sig(col(vecCol))))
+      .select(col("id"), col("vec"), col("pos").as("tbl"), col("col").as("bucket"))
+    b.as("l").join(b.as("r"),
+        col("l.tbl") === col("r.tbl") && col("l.bucket") === col("r.bucket") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.vec").as("va"), col("r.vec").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(cosineCol(col("va"), col("vb")), 6).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+}

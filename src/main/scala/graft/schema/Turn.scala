@@ -1,0 +1,76 @@
+package graft.schema
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.types._
+
+/** Input row of the transcript corpus.
+  *
+  * Shape per BASELINE.json input_hint: an Iceberg-layout table of
+  * multi-turn conversation / agent transcripts. Row identity is
+  * `(conv_id, turn_idx)` — the analog of the reference's synthetic
+  * `{table}_id` primary key (reference: DataGuardianApp/utils.py:730-734)
+  * but stable across partitioning, which `monotonically_increasing_id`
+  * is not.
+  */
+final case class Turn(
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    text: String,
+    tool: String,
+    ts: Timestamp
+)
+
+/** A turn annotated with model scores (language-ID + perplexity), the
+  * intermediate shape produced by the single mapPartitions inference
+  * pass (broadcast models) before the Catalyst column stages.
+  */
+final case class ScoredTurn(
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    text: String,
+    tool: String,
+    ts: Timestamp,
+    norm_text: String,
+    lang: String,
+    lang_conf: Double,
+    ppl: Double
+)
+
+/** Output row: keep/drop label + scrubbed text + lineage.
+  *
+  * The per-turn `drop_reasons` array is the vectorized analog of the
+  * reference's one-ORM-row-per-anomaly `DiagnosticDetail` log
+  * (reference: DataGuardianApp/models.py:202-215, inserted row-at-a-time
+  * at utils.py:1114-1129).
+  */
+final case class LabeledTurn(
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    text: String,
+    tool: String,
+    ts: Timestamp,
+    keep: Boolean,
+    drop_reasons: Seq[String],
+    scrubbed_text: String,
+    lang: String,
+    lang_conf: Double,
+    ppl: Double,
+    scrub_counts: Map[String, Int]
+)
+
+object Turn {
+  val schema: StructType = StructType(
+    Seq(
+      StructField("conv_id", StringType),
+      StructField("turn_idx", IntegerType),
+      StructField("role", StringType),
+      StructField("text", StringType),
+      StructField("tool", StringType),
+      StructField("ts", TimestampType)
+    )
+  )
+}

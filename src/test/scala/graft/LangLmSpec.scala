@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lang.{LangId, SeedCorpus}
+import graft.lm.NGramLM
+
+/** Language-ID + perplexity model behavior and determinism. */
+class LangLmSpec extends AnyFunSuite {
+
+  test("langid classifies held-out-ish sentences correctly") {
+    val cases = Seq(
+      "we should check the data before making the final decision" -> "en",
+      "nous devons verifier les donnees avant de prendre la decision" -> "fr",
+      "wir sollten die daten pruefen bevor wir die entscheidung treffen" -> "de",
+      "debemos revisar los datos antes de tomar la decision final" -> "es")
+    cases.foreach { case (text, expect) =>
+      val (lang, conf) = LangId.default.classify(text)
+      assert(lang == expect, s"'$text' -> $lang (conf $conf)")
+      assert(conf > 0.5)
+    }
+  }
+
+  test("langid on empty/null is und") {
+    assert(LangId.default.classify("") == (("und", 0.0)))
+    assert(LangId.default.classify(null) == (("und", 0.0)))
+  }
+
+  test("perplexity separates prose, code, and gibberish") {
+    val prose = LangId.pplModel.perplexity(
+      "please make sure the tests pass before you merge the change")
+    val code = LangId.pplModel.perplexity(
+      """{"name": "search", "args": {"query": "window functions"}}""")
+    val gibberish = LangId.pplModel.perplexity(
+      "xqzwjv kfpqx mzzkrw qqvtxp zzfkwj pqxmzr")
+    assert(prose < 15.0, s"prose ppl $prose")
+    assert(code < 25.0, s"code ppl $code")
+    assert(gibberish > 25.0, s"gibberish ppl $gibberish")
+  }
+
+  test("model scoring is deterministic and serialization-stable") {
+    val m = LangId.default
+    val texts = SeedCorpus.en.take(5) ++ SeedCorpus.fr.take(5)
+    val before = texts.map(m.classify)
+
+    // round-trip through java serialization (what Broadcast does)
+    val bos = new java.io.ByteArrayOutputStream()
+    new java.io.ObjectOutputStream(bos).writeObject(m)
+    val m2 = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[graft.lang.LangIdModel]
+    assert(texts.map(m2.classify) == before)
+
+    val lm = NGramLM.train(Seq("abc abc abd"), 0.1)
+    assert(lm.perplexity("abc") == lm.perplexity("abc"))
+  }
+}

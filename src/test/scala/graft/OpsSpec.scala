@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextAlgos
+import graft.ops.{Ann, Dedup}
+
+/** Dedup + ANN operators vs brute-force ground truth on small inputs. */
+class OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def docsDf = {
+    import spark.implicits._
+    val base = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bend"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 0
+      (3L, "completely unrelated sentence about spark window aggregation plans"),
+      (4L, "spark window aggregation plans are completely unrelated here too"),
+      (5L, "der schnelle braune fuchs springt ueber den faulen hund am fluss"),
+      (6L, "the quick brown fox leaps over the lazy dog near the river bank"),
+      (7L, "short"),
+      (8L, ""),
+      (9L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+    base.toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps min-id survivor per distinct text") {
+    val survivors = Dedup.exactSurvivors(docsDf, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(survivors.toSeq == Seq(0L, 1L, 3L, 4L, 5L, 6L, 7L, 8L, 9L)) // 2 deduped
+    val stats = Dedup.exactStats(docsDf, "text").head()
+    assert(stats.getLong(0) == 10 && stats.getLong(1) == 9)
+  }
+
+  test("minhash LSH finds near-dup pairs that brute force finds") {
+    val pairs = Dedup.minHashPairs(docsDf, "text", "doc_id",
+        numHashes = 128, bands = 32, shingleK = 2, threshold = 0.6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force ground truth at the same threshold
+    val rows = docsDf.collect().map(r => (r.getLong(0), r.getString(1)))
+    val truth = (for {
+      (ia, ta) <- rows; (ib, tb) <- rows if ia < ib && tb.nonEmpty && ta.nonEmpty
+      if TextAlgos.ngramJaccard(ta, tb, 2) >= 0.6
+    } yield (ia, ib)).toSet
+    assert(truth.nonEmpty)
+    // exact-dup pair must be found; high recall on this tiny set
+    assert(pairs.contains((0L, 2L)))
+    assert((truth -- pairs).size <= truth.size / 3,
+      s"LSH missed too many: ${truth -- pairs}")
+    assert(pairs.subsetOf(truth), "verify step must kill false positives")
+  }
+
+  test("simhash pairs include exact duplicates at hamming 0") {
+    val pairs = Dedup.simHashPairs(docsDf, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 2L && p._3 == 0))
+  }
+
+  test("brute-force ANN matches driver-side cosine ranking") {
+    import spark.implicits._
+    val rng = new TranscriptRng(7)
+    val vecs = (0L until 50L).map(i =>
+      (i, Array.fill(16)(rng.nextGaussian().toFloat).toSeq)).toDF("vec_id", "embedding")
+    val topk = Ann.bruteForceTopK(vecs, vecs.where(col("vec_id") < 3), k = 5, roundTo = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val raw = vecs.as[(Long, Seq[Float])].collect().toMap
+    (0L until 3L).foreach { q =>
+      val expect = raw.keys.filter(_ != q).toSeq
+        .map(n => (n, TextAlgos.cosine(raw(q).toArray, raw(n).toArray)))
+        .sortBy { case (n, s) => (-s, n) }.take(5).map(_._1)
+      assert(topk(q).map(_._2).toSeq == expect)
+    }
+  }
+
+  test("LSH ANN recall vs brute force on clustered vectors") {
+    import spark.implicits._
+    val rng = new TranscriptRng(11)
+    // 5 well-separated centers with jittered members → LSH-friendly
+    val centers = Array.fill(5, 16)(rng.nextGaussian() * 5)
+    val vecs = (0L until 100L).map { i =>
+      val c = centers((i % 5).toInt)
+      (i, c.map(x => (x + rng.nextGaussian() * 0.3).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val brute = Ann.bruteForceTopK(vecs, vecs.where(col("vec_id") < 5), k = 3, roundTo = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.lshTopK(vecs, vecs.where(col("vec_id") < 5), k = 3,
+      tables = 8, bits = 6, roundTo = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.8, s"LSH recall $recall too low")
+  }
+
+  /** Deterministic gaussian-ish RNG for test vectors. */
+  private final class TranscriptRng(seed: Long) {
+    private var s = seed
+    def nextDouble(): Double = {
+      s = TextAlgos.mix64(s); (s >>> 11).toDouble / (1L << 53).toDouble
+    }
+    def nextGaussian(): Double = {
+      // Box-Muller, deterministic
+      val u1 = math.max(nextDouble(), 1e-12); val u2 = nextDouble()
+      math.sqrt(-2 * math.log(u1)) * math.cos(2 * math.Pi * u2)
+    }
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.gen.TranscriptGen
+import graft.pipeline.QualityFilter
+
+/** Physical-plan shape assertions — the "would this survive 100x
+  * scale-up" properties, locked as tests so regressions show up in CI
+  * rather than in cluster bills:
+  *  - the quality filter shuffles the corpus exactly ONCE (by conv_id);
+  *  - dimension joins broadcast;
+  *  - aggregations are partial (map-side combine);
+  *  - top-k is TakeOrdered, not a global sort;
+  *  - parquet scans prune columns.
+  */
+class PipelinePlanSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("quality filter: exactly one exchange of the corpus") {
+    val df = QualityFilter.label(TranscriptGen.generate(spark, 50, 1L, 100))
+    val p = plan(df)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, plan:\n$p")
+  }
+
+  test("quality filter plan has no cartesian or broadcast-nested-loop") {
+    val p = plan(QualityFilter.label(TranscriptGen.generate(spark, 50, 1L, 100)))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("dimension join broadcasts (q2_join_revenue)") {
+    val p = plan(SparkEntry.queries("q2_join_revenue")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("anti-join vs dictionary broadcasts (f9_anti_dict)") {
+    val p = plan(SparkEntry.queries("f9_anti_dict")(spark, sf))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+  }
+
+  test("aggregation is partial+final (q1_pricing_agg)") {
+    val p = plan(SparkEntry.queries("q1_pricing_agg")(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not global sort (o1)") {
+    val p = plan(SparkEntry.queries("o1_topk_orders")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("parquet scan prunes columns (c6 reads 2 of 5 doc columns)") {
+    val p = plan(SparkEntry.queries("c6_scrub_email")(spark, sf))
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("?")
+    assert(readSchema.contains("doc_id") && readSchema.contains("source") &&
+      !readSchema.contains("text"), s"ReadSchema: $readSchema")
+  }
+
+  test("filter pushdown reaches the scan (c6 doc_id < 40)") {
+    val p = plan(SparkEntry.queries("c6_scrub_email")(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,40)]") ||
+      p.contains("LessThan(doc_id,40)"), p)
+  }
+}

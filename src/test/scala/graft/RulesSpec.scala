@@ -1,0 +1,167 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.oracle.OracleFilter
+import graft.pipeline.QualityFilter
+import graft.schema.{LabeledTurn, Turn}
+
+/** Per-rule unit tests on hand-written rows — the anomaly catalog of the
+  * reference's dirty CLIENTS fixture (db_configs/test_data.sql)
+  * transplanted into transcript payloads (FIXTURES.md §2). Each case is
+  * asserted against BOTH the oracle and the Spark pipeline.
+  */
+class RulesSpec extends AnyFunSuite {
+
+  private val ts0 = new Timestamp(1700000000000L)
+  private def ts(i: Int) = new Timestamp(1700000000000L + i * 60000L)
+
+  private def turn(idx: Int, role: String, text: String, tool: String = null,
+                   t: Timestamp = null): Turn =
+    Turn("c-1", idx, role, text, tool, if (t == null) ts(idx) else t)
+
+  /** Label one conversation through both implementations and return the
+    * (oracle, spark) results sorted by turn.
+    */
+  private def labelBoth(turns: Seq[Turn]): (Seq[LabeledTurn], Seq[LabeledTurn]) = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val o = OracleFilter.run(turns)
+    val s = QualityFilter.label(spark.createDataset(turns))
+      .as[LabeledTurn].collect().sortBy(t => (t.conv_id, t.turn_idx)).toSeq
+    (o, s)
+  }
+
+  private def reasonsOf(turns: Seq[Turn]): Seq[Seq[String]] = {
+    val (o, s) = labelBoth(turns)
+    assert(o.map(_.drop_reasons.toList) == s.map(_.drop_reasons.toList),
+      "oracle vs spark disagreement")
+    o.map(_.drop_reasons)
+  }
+
+  private val okText =
+    "could you please explain how this function works and what it returns"
+
+  test("empty / sentinel text drops (F1: MISSINGVALUE NULL - = ! ? nan)") {
+    val rs = reasonsOf(Seq(
+      turn(0, "user", okText),
+      turn(1, "assistant", "-"),
+      turn(2, "user", "   MISSINGVALUE "),
+      turn(3, "assistant", null),
+      turn(4, "user", "    "),
+      turn(5, "assistant", "nan")))
+    assert(rs(0).isEmpty)
+    assert(rs.drop(1).forall(_.contains("empty_text")))
+  }
+
+  test("length bounds") {
+    val rs = reasonsOf(Seq(
+      turn(0, "user", okText),
+      turn(1, "assistant", "k"),
+      turn(2, "user", "x " * 6000))) // 12000 chars > MaxLen
+    assert(rs(0).isEmpty)
+    assert(rs(1).contains("length"))
+    assert(rs(2).contains("length"))
+  }
+
+  test("symbol density (CLEM@ENT / JOS//EPH style pollution)") {
+    val rs = reasonsOf(Seq(
+      turn(0, "user", okText),
+      turn(1, "assistant", "@#$%^&*@#$%^&* some tex@t"),
+      turn(2, "tool", """{"a": {"b": [1, 2]}}""", tool = "search")))
+    assert(rs(0).isEmpty)
+    assert(rs(1).contains("symbol_density"))
+    assert(!rs(2).contains("symbol_density"), "tool payloads exempt")
+  }
+
+  test("repetition (CLEANTOOON / HOBAAAMA / repeated words)") {
+    val rs = reasonsOf(Seq(
+      turn(0, "user", okText),
+      turn(1, "assistant", "spam spam spam spam spam spam spam spam spam spam spam"),
+      turn(2, "user", "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa")))
+    assert(rs(0).isEmpty)
+    assert(rs(1).contains("repetition"))
+    assert(rs(2).contains("repetition"))
+  }
+
+  test("bad role / bad tool (dictionary membership)") {
+    val rs = reasonsOf(Seq(
+      turn(0, "user", okText),
+      turn(1, "operator", okText + " once more"),
+      turn(2, "user", okText + " with a tool attached", tool = "search"),
+      turn(3, "tool", """{"r": 1}""", tool = null),
+      turn(4, "assistant", okText + " final answer here", tool = "search")))
+    assert(rs(0).isEmpty)
+    assert(rs(1).contains("bad_role"))
+    assert(rs(2).contains("bad_tool"))
+    assert(rs(3).contains("bad_tool"))
+    assert(rs(4).isEmpty)
+  }
+
+  test("turn_idx contiguity + ts regression windows") {
+    val rs = reasonsOf(Seq(
+      turn(0, "user", okText),
+      turn(1, "assistant", okText + " indeed"),
+      turn(3, "user", okText + " again today"), // gap: 1 -> 3
+      turn(4, "assistant", okText + " more words here", t = ts(1)))) // ts regress
+    assert(rs(0).isEmpty)
+    assert(rs(1).isEmpty)
+    assert(rs(2).contains("non_contiguous_turn"))
+    assert(rs(3).contains("ts_regression"))
+  }
+
+  test("first turn must be turn_idx 0") {
+    val rs = reasonsOf(Seq(turn(2, "user", okText)))
+    assert(rs(0).contains("non_contiguous_turn"))
+  }
+
+  test("duplicate turns within a conversation (C121-C126 analog)") {
+    val rs = reasonsOf(Seq(
+      turn(0, "user", okText),
+      turn(1, "assistant", "the results were consistent with our expectations"),
+      turn(2, "user", okText), // exact dup of turn 0
+      turn(3, "user", "  " + okText + "  "))) // dup modulo whitespace
+    assert(rs(0).isEmpty)
+    assert(rs(2).contains("duplicate_turn"))
+    assert(rs(3).contains("duplicate_turn"))
+  }
+
+  test("language filter: es drops, allowed langs keep, tool exempt") {
+    val es = "creo que deberiamos mirar los datos antes de tomar una decision sobre el cambio"
+    val rs = reasonsOf(Seq(
+      turn(0, "user", es),
+      turn(1, "assistant", es + " y tambien las pruebas del experimento"),
+      turn(2, "user", es + " cada manana ella lee las noticias")))
+    assert(rs.forall(_.contains("lang")))
+
+    val rs2 = reasonsOf(Seq(
+      turn(0, "user", okText),
+      turn(1, "assistant", "le temps aujourd'hui est tres agreable et nous allons faire une promenade"),
+      turn(2, "user", "das wetter ist heute sehr schoen und wir planen einen kurzen spaziergang")))
+    assert(rs2.forall(_.isEmpty))
+  }
+
+  test("perplexity: gibberish drops, normal prose keeps") {
+    val rs = reasonsOf(Seq(
+      turn(0, "user", okText),
+      turn(1, "assistant", "xqzwjv kfpqx mzzkrw qqvtxp zzfkwj pqxmzr wvkqjx"),
+      turn(2, "tool", "xqzwjv kfpqx mzzkrw qqvtxp", tool = "search")))
+    assert(rs(0).isEmpty)
+    assert(rs(1).contains("perplexity"))
+    assert(!rs(2).contains("perplexity"), "tool turns exempt from ppl")
+  }
+
+  test("PII scrubbing end-to-end text equality") {
+    val (o, s) = labelBoth(Seq(
+      turn(0, "user",
+        "reach me at alice@example.com or +33612345678, token sk-abcdefghijklmnopqrstuv, you frakk"),
+      turn(1, "assistant", "noted:  I  will   not share it")))
+    assert(o.map(_.scrubbed_text) == s.map(_.scrubbed_text))
+    assert(s(0).scrubbed_text ==
+      "reach me at <EMAIL> or <PHONE>, token <KEY>, you <SLUR>")
+    assert(s(0).scrub_counts == Map("email" -> 1, "phone" -> 1, "key" -> 1, "slur" -> 1))
+    assert(s(1).scrubbed_text == "noted: I will not share it")
+  }
+}
