@@ -305,6 +305,147 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---------------------------------- semantic types + corrections
+    "f8_date_classify" -> ((s, dir) => {
+      import graft.ops.SemanticTypes
+      val raw = when(col("o_orderkey") % 3 === 0, date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        .when(col("o_orderkey") % 3 === 1, date_format(col("o_orderdate"), "MM/dd/yyyy"))
+        .otherwise(date_format(col("o_orderdate"), "dd.MM.yyyy"))
+      t(s, dir, "orders").where(col("o_orderkey") < 200)
+        .select(col("o_orderkey"), raw.as("raw"))
+        .select(col("o_orderkey"), col("raw"),
+          SemanticTypes.classifyDateFormat(col("raw")).as("fmt"),
+          SemanticTypes.reformatDate(col("raw")).as("fixed"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "f12_semantic_predicates" -> ((s, dir) => {
+      import graft.ops.SemanticTypes._
+      val v = when(col("doc_id") % 4 === 0,
+          concat(lit("user"), col("doc_id").cast("string"), lit("@example.com")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("+33"), lpad((col("doc_id") % 1000000000).cast("string"), 9, "0")))
+        .when(col("doc_id") % 4 === 2,
+          concat(col("doc_id").cast("string"), lit(".5")))
+        .otherwise(lit("plainword"))
+      t(s, dir, "documents").select(v.as("v")).agg(
+        sum(isEmail(col("v")).cast("long")).as("n_email"),
+        sum(isPhone(col("v")).cast("long")).as("n_phone"),
+        sum(isNumeric(col("v")).cast("long")).as("n_numeric"))
+    }),
+
+    "a16_type_vote" -> ((s, dir) => {
+      import graft.ops.SemanticTypes
+      val v = when(col("doc_id") % 10 < 7, concat(col("doc_id").cast("string"), lit(".25")))
+        .otherwise(lit("notanumber"))
+      SemanticTypes.majorityType(
+        t(s, dir, "documents").select(col("doc_id"), v.as("v")), "v", "doc_id")
+    }),
+
+    "c10_case_normalize" -> ((s, dir) => {
+      import graft.ops.Corrections
+      t(s, dir, "customer").where(col("c_custkey") < 40)
+        .select(col("c_custkey"),
+          Corrections.capitalize(col("c_mktsegment")).as("cap"),
+          upper(col("c_name")).as("up"),
+          lower(col("c_name")).as("lo"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "c12_currency" -> ((s, dir) => {
+      import graft.ops.Corrections
+      val money = concat(lit("$"), col("p_size").cast("string"), lit(".99"))
+      t(s, dir, "part").where(col("p_partkey") < 60)
+        .select(col("p_partkey"), money.as("raw"),
+          Corrections.currencyToNumber(money, 0.85).as("converted"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "a11_dup_columns" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_quantity"), col("l_quantity").as("q2"), col("l_discount"))
+        .agg(
+          (max(when(!(col("l_quantity") <=> col("q2")), 1).otherwise(0)) === 0).as("q_q2_dup"),
+          (max(when(!(col("l_quantity") <=> col("l_discount")), 1).otherwise(0)) === 0).as("q_disc_dup"))
+    }),
+
+    "c15_split_column" -> ((s, dir) => {
+      val v = concat(col("source"), lit(" "), col("lang"))
+      t(s, dir, "documents").where(col("doc_id") < 30)
+        .select(col("doc_id"),
+          split(v, " ").getItem(0).as("part0"),
+          split(v, " ").getItem(1).as("part1"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "a14_quality_score" -> ((s, dir) => {
+      val anomalous = col("text").rlike("[^a-zA-Z0-9\\s]") || length(col("text")) < 20
+      t(s, dir, "documents").groupBy(col("source"))
+        .agg(round(lit(100.0) - lit(100.0) *
+          sum(anomalous.cast("double")) / count(lit(1)), 4).as("score"))
+        .orderBy(col("source"))
+    }),
+
+    // ------------------------------------------ sources / exports / views
+    "s1_csv_roundtrip" -> ((s, dir) => {
+      import graft.sources.Sources
+      val path = "/tmp/graft_csv_roundtrip"
+      Sources.exportCsv(t(s, dir, "nation"), path, Seq("n_nationkey"))
+      Sources.readCsv(s, path, header = true,
+          schema = Some(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("n_nationkey", org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("n_name", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("n_regionkey", org.apache.spark.sql.types.IntegerType)))))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    "s9_ordered_export" -> ((s, dir) => {
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey")).limit(50)
+    }),
+
+    "s12_sql_view" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("graft_customer_v")
+      s.sql("""SELECT c_mktsegment, count(*) AS n,
+               round(avg(c_acctbal), 2) AS avg_bal
+               FROM graft_customer_v GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    }),
+
+    "o4_set_ops" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").cast("int").as("k")).distinct()
+      val n = t(s, dir, "nation").select(col("n_nationkey").cast("int").as("k"))
+      val exceptCnt = c.except(n).count()
+      val intersectCnt = c.intersect(n).count()
+      s.range(1).select(lit(exceptCnt).as("n_except"), lit(intersectCnt).as("n_intersect"))
+    }),
+
+    "j3_suggest_generic" -> ((s, dir) => {
+      val anomalies = s.createDataFrame(Seq(
+        Tuple1("AUTOMOBIL"), Tuple1("FURNITURES"), Tuple1("MACHINNERY"),
+        Tuple1("HOUSHOLD"), Tuple1("BULDING"), Tuple1("ZZZZZZ")
+      )).toDF("val")
+      val dict = t(s, dir, "customer").select(col("c_mktsegment")).distinct()
+      val scored = anomalies.crossJoin(broadcast(dict))
+        .select(col("val"), col("c_mktsegment"),
+          round(jaro_winkler(upper(col("val")), upper(col("c_mktsegment"))), 6).as("sim"))
+        .where(col("sim") >= 0.85)
+      val w = Window.partitionBy(col("val")).orderBy(col("sim").desc, col("c_mktsegment").asc)
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("val"), col("c_mktsegment").as("suggestion"), col("sim"))
+        .orderBy(col("val"))
+    }),
+
+    // --------------------------------------------------- multimodal stub
+    "mm1_multimodal_features" -> ((s, dir) => {
+      import graft.ops.Multimodal
+      val media = Multimodal.synthesize(s,
+        t(s, dir, "documents").where(col("doc_id") < 50), "doc_id")
+      Multimodal.featurize(media).toDF()
+        .select(col("media_id"), col("mime"), col("n_bytes"),
+          round(col("brightness"), 6).as("brightness"))
+        .orderBy(col("media_id"))
+    }),
+
     // -------------------------------------------------- flagship pipeline
     "qf1_quality_filter" -> ((s, _) => {
       QualityFilter.label(TranscriptGen.generate(s, 500, seed = 42L, skewCap = 2000))
@@ -468,6 +609,123 @@ object SparkEntry {
          SELECT qid, nid, sim FROM (
            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s)
          WHERE rn <= 3 ORDER BY qid, nid""",
+
+    "f8_date_classify" ->
+      """WITH d AS (SELECT o_orderkey,
+           CASE CAST(o_orderkey % 3 AS INTEGER)
+             WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+             WHEN 1 THEN strftime(o_orderdate, '%m/%d/%Y')
+             ELSE strftime(o_orderdate, '%d.%m.%Y') END AS raw
+           FROM orders WHERE o_orderkey < 200)
+         SELECT o_orderkey, raw,
+           CASE WHEN regexp_matches(raw, '^\d{4}-\d{2}-\d{2}$') THEN 'YYYY-MM-DD'
+                WHEN regexp_matches(raw, '^\d{2}/\d{2}/\d{4}$') THEN 'MM/DD/YYYY'
+                WHEN regexp_matches(raw, '^\d{2}\.\d{2}\.\d{4}$') THEN 'DD.MM.YYYY'
+                WHEN regexp_matches(raw, '^\d{8}$') THEN 'YYYYMMDD'
+                ELSE 'Format de date inconnu' END AS fmt,
+           strftime(CASE
+             WHEN regexp_matches(raw, '^\d{4}-\d{2}-\d{2}$') THEN strptime(raw, '%Y-%m-%d')
+             WHEN regexp_matches(raw, '^\d{2}/\d{2}/\d{4}$') THEN strptime(raw, '%m/%d/%Y')
+             ELSE strptime(raw, '%d.%m.%Y') END, '%m-%d-%Y') AS fixed
+         FROM d ORDER BY o_orderkey""",
+
+    "f12_semantic_predicates" ->
+      """WITH v AS (SELECT CASE CAST(doc_id % 4 AS INTEGER)
+           WHEN 0 THEN 'user' || CAST(doc_id AS VARCHAR) || '@example.com'
+           WHEN 1 THEN '+33' || lpad(CAST(doc_id % 1000000000 AS VARCHAR), 9, '0')
+           WHEN 2 THEN CAST(doc_id AS VARCHAR) || '.5'
+           ELSE 'plainword' END AS v FROM documents)
+         SELECT
+           CAST(sum(CASE WHEN regexp_matches(v, '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$') THEN 1 ELSE 0 END) AS BIGINT) AS n_email,
+           CAST(sum(CASE WHEN regexp_matches(v, '^\+?[0-9.\s-]{10,20}$') THEN 1 ELSE 0 END) AS BIGINT) AS n_phone,
+           CAST(sum(CASE WHEN regexp_matches(v, '^-?\d*\.?\d+$') THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric
+         FROM v""",
+
+    "a16_type_vote" ->
+      """WITH s AS (SELECT CASE WHEN CAST(doc_id % 10 AS INTEGER) < 7
+             THEN CAST(doc_id AS VARCHAR) || '.25' ELSE 'notanumber' END AS v
+           FROM documents WHERE doc_id IS NOT NULL ORDER BY doc_id LIMIT 20),
+         r AS (SELECT
+           avg(CASE WHEN regexp_matches(v, '^-?\d*\.?\d+$') THEN 1.0 ELSE 0.0 END) AS numerique,
+           avg(CASE WHEN regexp_matches(v, '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$') THEN 1.0 ELSE 0.0 END) AS email,
+           avg(CASE WHEN regexp_matches(v, '^\+?[0-9.\s-]{10,20}$') THEN 1.0 ELSE 0.0 END) AS phone,
+           avg(CASE WHEN regexp_matches(v, '^\d{4}-\d{2}-\d{2}$')
+                 OR regexp_matches(v, '^\d{2}/\d{2}/\d{4}$')
+                 OR regexp_matches(v, '^\d{2}\.\d{2}\.\d{4}$')
+                 OR regexp_matches(v, '^\d{8}$') THEN 1.0 ELSE 0.0 END) AS date
+           FROM s)
+         SELECT
+           CASE WHEN numerique > 0.6 THEN 'numerique'
+                WHEN date > 0.6 THEN 'date'
+                WHEN phone > 0.6 THEN 'phone'
+                WHEN email > 0.6 THEN 'email'
+                WHEN greatest(numerique, date, phone, email) > 0.5 THEN
+                  CASE greatest(numerique, date, phone, email)
+                    WHEN numerique THEN 'numerique' WHEN date THEN 'date'
+                    WHEN phone THEN 'phone' ELSE 'email' END
+                ELSE 'UNKNOWN' END AS detected_type,
+           round(numerique, 4) AS rate_numerique, round(date, 4) AS rate_date,
+           round(phone, 4) AS rate_phone, round(email, 4) AS rate_email
+         FROM r""",
+
+    "c10_case_normalize" ->
+      """SELECT c_custkey,
+           upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2)) AS cap,
+           upper(c_name) AS up, lower(c_name) AS lo
+         FROM customer WHERE c_custkey < 40 ORDER BY c_custkey""",
+
+    "c12_currency" ->
+      """SELECT p_partkey, '$' || CAST(p_size AS VARCHAR) || '.99' AS raw,
+           round(CAST(regexp_replace('$' || CAST(p_size AS VARCHAR) || '.99',
+             '[^0-9.]+', '', 'g') AS DOUBLE) * 0.85, 2) AS converted
+         FROM part WHERE p_partkey < 60 ORDER BY p_partkey""",
+
+    "a11_dup_columns" ->
+      """SELECT max(CASE WHEN l_quantity IS DISTINCT FROM l_quantity THEN 1 ELSE 0 END) = 0 AS q_q2_dup,
+                max(CASE WHEN l_quantity IS DISTINCT FROM l_discount THEN 1 ELSE 0 END) = 0 AS q_disc_dup
+         FROM lineitem""",
+
+    "c15_split_column" ->
+      """SELECT doc_id,
+           string_split(source || ' ' || lang, ' ')[1] AS part0,
+           string_split(source || ' ' || lang, ' ')[2] AS part1
+         FROM documents WHERE doc_id < 30 ORDER BY doc_id""",
+
+    "a14_quality_score" ->
+      """SELECT source, round(100.0 - 100.0 *
+           sum(CASE WHEN regexp_matches(text, '[^a-zA-Z0-9\s]') OR length(text) < 20
+               THEN 1.0 ELSE 0.0 END) / count(*), 4) AS score
+         FROM documents GROUP BY source ORDER BY source""",
+
+    "s1_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "s9_ordered_export" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+         ORDER BY o_orderkey LIMIT 50""",
+
+    "s12_sql_view" ->
+      """SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 2) AS avg_bal
+         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "o4_set_ops" ->
+      """SELECT
+           (SELECT count(*) FROM (SELECT DISTINCT CAST(c_nationkey AS INTEGER) AS k FROM customer
+             EXCEPT SELECT CAST(n_nationkey AS INTEGER) FROM nation)) AS n_except,
+           (SELECT count(*) FROM (SELECT DISTINCT CAST(c_nationkey AS INTEGER) AS k FROM customer
+             INTERSECT SELECT CAST(n_nationkey AS INTEGER) FROM nation)) AS n_intersect""",
+
+    "j3_suggest_generic" ->
+      """WITH anom(val) AS (VALUES ('AUTOMOBIL'), ('FURNITURES'), ('MACHINNERY'),
+                                   ('HOUSHOLD'), ('BULDING'), ('ZZZZZZ')),
+         dict AS (SELECT DISTINCT c_mktsegment FROM customer),
+         s AS (SELECT val, c_mktsegment,
+                 round(jaro_winkler_similarity(upper(val), upper(c_mktsegment)), 6) AS sim
+               FROM anom, dict)
+         SELECT val, c_mktsegment AS suggestion, sim FROM (
+           SELECT *, row_number() OVER (PARTITION BY val ORDER BY sim DESC, c_mktsegment) AS rn
+           FROM s WHERE sim >= 0.85)
+         WHERE rn = 1 ORDER BY val""",
 
     "ts1_token_quality" ->
       """SELECT doc_id,

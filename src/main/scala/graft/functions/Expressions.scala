@@ -40,6 +40,27 @@ object GraftExpressions {
       if (a == null) null else a.toString,
       if (b == null) null else b.toString, k)
 
+  /** Whitespace-normalize + full PII scrub chain + per-rule counts in
+    * ONE pass over the string — literally the oracle's code path
+    * (graft.scrub.Scrub), so pipeline/oracle text equality holds by
+    * construction. Returns struct<scrubbed_text, c_email, c_key,
+    * c_phone, c_slur>. One String materialization instead of nine
+    * UTF8String↔String round-trips (GC contention at 32 sort threads
+    * was the window-stage scaling bottleneck).
+    */
+  def scrubAll(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val raw = if (s == null) null else s.toString
+    val norm = graft.scrub.Scrub.normalizeWsPlain(raw)
+    val (scrubbed, counts) = graft.scrub.Scrub.scrubPlain(norm)
+    val out = new Array[Any](1 + graft.rules.RuleConfig.ScrubChain.size)
+    out(0) = if (scrubbed == null) null else UTF8String.fromString(scrubbed)
+    var i = 1
+    graft.rules.RuleConfig.ScrubChain.foreach { case (rule, _, _) =>
+      out(i) = counts(rule); i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+
   // ------------------------------------------------------- Column API
 
   def repetition_ratio(c: Column, n: Int = 3): Column =
@@ -61,6 +82,40 @@ object GraftExpressions {
   def ngram_jaccard(a: Column, b: Column, k: Int = 3): Column =
     ExpressionUtils.column(
       NgramJaccardExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b), k))
+
+  def scrub_all(c: Column): Column =
+    ExpressionUtils.column(ScrubAllExpr(ExpressionUtils.expression(c)))
+}
+
+/** Fused normalize + PII scrub + counts (see GraftExpressions.scrubAll). */
+case class ScrubAllExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ScrubAllExpr.schema
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    GraftExpressions.scrubAll(child.eval(input).asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        InternalRow ${ev.value} = graft.functions.GraftExpressions.scrubAll(
+          ${c.isNull} ? null : ${c.value});
+        boolean ${ev.isNull} = false;
+      """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): ScrubAllExpr =
+    copy(child = newChild)
+}
+
+object ScrubAllExpr {
+  import graft.rules.RuleConfig
+  val schema: StructType = StructType(
+    StructField("scrubbed_text", StringType) +:
+      RuleConfig.ScrubChain.map { case (rule, _, _) =>
+        StructField(s"c_$rule", IntegerType, nullable = false)
+      })
 }
 
 /** Distinct-fraction of char n-grams of lowercase(input) — the

@@ -106,7 +106,9 @@ object TextAlgos {
       i += 1
     }
     val m = matches.toDouble
-    (m / l1 + m / l2 + (m - transpositions / 2.0) / m) / 3.0
+    // classic C convention (pg_similarity, DuckDB): transpositions are
+    // FLOOR(mismatches / 2) — integer division, not exact halves
+    (m / l1 + m / l2 + (m - (transpositions / 2)) / m) / 3.0
   }
 
   /** Jaro-Winkler with the standard prefix boost (p=0.1, max prefix 4,

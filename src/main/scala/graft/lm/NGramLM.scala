@@ -2,35 +2,51 @@ package graft.lm
 
 import scala.collection.mutable
 
-/** Char-trigram language model with add-k smoothing, stored as sorted
-  * parallel long/int arrays (compact, serializable, broadcast-friendly,
-  * binary-search lookup — no per-row boxing).
+import graft.functions.TextAlgos.mix64
+
+/** Char-trigram language model with add-k smoothing.
+  *
+  * Storage/runtime design (hot path = one call per char per model over
+  * the whole corpus):
+  *  - open-addressing hash tables (linear probing, power-of-2 capacity,
+  *    key+1 stored so 0 = empty) instead of sorted-array binary search:
+  *    ~1-2 probes instead of ~15 cache-missing comparisons;
+  *  - ALL logarithms precomputed at TRAIN time (log numerators per
+  *    gram, log denominators per context): the per-char work is two
+  *    table probes and a subtraction — no StrictMath.log in the row
+  *    path (StrictMath has no JIT intrinsic and costs ~100ns/call;
+  *    determinism is preserved because the precomputed doubles are
+  *    identical on every executor).
   *
   * This is the KenLM-style scorer of the north_star: per-row perplexity
-  * given a broadcast model. It is also the building block of the
-  * fastText-style language-ID (one LM per language, argmax avg log-prob)
-  * in [[graft.lang.LangId]]. Deterministic: fixed operation order, no
-  * floats whose value depends on partition iteration order
-  * (SURVEY.md §7.5 #3).
+  * given a broadcast model; also the building block of the fastText-
+  * style language-ID ([[graft.lang.LangId]]) — one LM per language,
+  * argmax avg log-prob. Bit-stable: fixed operation order, no
+  * partition-order-dependent floats (SURVEY.md §7.5 #3).
   *
   * Text normalization: lowercase, digits → '0', whitespace → ' ',
-  * chars above U+00FF → 'Ā' bucket (keeps the table small while
-  * making non-Latin scripts score as out-of-distribution).
+  * chars above U+00FF → 'Ā' bucket.
   */
 final class NGramLM private (
-    gramKeys: Array[Long],
-    gramCounts: Array[Int],
-    ctxKeys: Array[Long],
-    ctxCounts: Array[Int],
-    val vocabSize: Int,
-    val k: Double
+    gramKeys: Array[Long], gramLogNum: Array[Double],
+    ctxKeys: Array[Long], ctxLogDen: Array[Double],
+    gramMask: Int, ctxMask: Int,
+    logNumUnseen: Double, logDenUnseen: Double,
+    val vocabSize: Int, val k: Double
 ) extends Serializable {
 
   import NGramLM._
 
-  private def lookup(keys: Array[Long], vals: Array[Int], key: Long): Int = {
-    val i = java.util.Arrays.binarySearch(keys, key)
-    if (i >= 0) vals(i) else 0
+  @inline private def probe(keys: Array[Long], vals: Array[Double],
+                            mask: Int, key: Long, default: Double): Double = {
+    var i = (mix64(key) & mask).toInt
+    while (true) {
+      val stored = keys(i)
+      if (stored == key + 1) return vals(i)
+      if (stored == 0L) return default
+      i = (i + 1) & mask
+    }
+    default // unreachable
   }
 
   /** Sum of log P(c | prev2) over the normalized text; 0 chars → 0.0. */
@@ -39,21 +55,18 @@ final class NGramLM private (
     var c1 = Boundary
     var c2 = Boundary
     var lp = 0.0
-    var n = 0
     var i = 0
     while (i < text.length) {
       val c = norm(text.charAt(i))
       val ctx = (c1.toLong << 16) | c2.toLong
       val gram = (ctx << 16) | c.toLong
-      val num = lookup(gramKeys, gramCounts, gram) + k
-      val den = lookup(ctxKeys, ctxCounts, ctx) + k * vocabSize
-      lp += StrictMath.log(num / den)
-      n += 1
+      lp += probe(gramKeys, gramLogNum, gramMask, gram, logNumUnseen) -
+        probe(ctxKeys, ctxLogDen, ctxMask, ctx, logDenUnseen)
       c1 = c2
       c2 = c
       i += 1
     }
-    (lp, n)
+    (lp, text.length)
   }
 
   def avgLogProb(text: String): Double = {
@@ -70,7 +83,7 @@ final class NGramLM private (
 
 object NGramLM {
   /** Sentinel context char for positions before the text start. */
-  final val Boundary: Char = ''
+  final val Boundary: Char = '\u0002'
 
   def norm(c0: Char): Char = {
     val c = Character.toLowerCase(c0)
@@ -78,6 +91,24 @@ object NGramLM {
     else if (Character.isWhitespace(c)) ' '
     else if (c > 'ÿ' && c != Boundary) 'Ā'
     else c
+  }
+
+  private def buildTable(m: mutable.LongMap[Double]): (Array[Long], Array[Double], Int) = {
+    var cap = 16
+    while (cap < m.size * 3) cap <<= 1
+    val keys = new Array[Long](cap)
+    val vals = new Array[Double](cap)
+    val mask = cap - 1
+    // deterministic insertion order (sorted keys) → deterministic layout
+    val sorted = m.keys.toArray
+    java.util.Arrays.sort(sorted)
+    sorted.foreach { key =>
+      var i = (mix64(key) & mask).toInt
+      while (keys(i) != 0L) i = (i + 1) & mask
+      keys(i) = key + 1
+      vals(i) = m(key)
+    }
+    (keys, vals, mask)
   }
 
   /** Train from corpus lines; k = add-k smoothing constant. */
@@ -101,14 +132,15 @@ object NGramLM {
         i += 1
       }
     }
-    def toSorted(m: mutable.LongMap[Int]): (Array[Long], Array[Int]) = {
-      val ks = m.keys.toArray
-      java.util.Arrays.sort(ks)
-      (ks, ks.map(m(_)))
-    }
-    val (gk, gv) = toSorted(grams)
-    val (ck, cv) = toSorted(ctxs)
     // +1 for unseen chars (everything normalizes into a small alphabet)
-    new NGramLM(gk, gv, ck, cv, math.max(vocab.size + 1, 2), k)
+    val v = math.max(vocab.size + 1, 2)
+    val gramLogs = mutable.LongMap.empty[Double]
+    grams.foreach { case (key, n) => gramLogs(key) = StrictMath.log(n + k) }
+    val ctxLogs = mutable.LongMap.empty[Double]
+    ctxs.foreach { case (key, n) => ctxLogs(key) = StrictMath.log(n + k * v) }
+    val (gk, gv, gm) = buildTable(gramLogs)
+    val (ck, cv, cm) = buildTable(ctxLogs)
+    new NGramLM(gk, gv, ck, cv, gm, cm,
+      StrictMath.log(k), StrictMath.log(k * v), v, k)
   }
 }

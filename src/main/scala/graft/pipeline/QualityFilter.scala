@@ -4,36 +4,40 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftExpressions.{repetition_ratio, symbol_density}
+import graft.functions.TextAlgos
 import graft.lang.LangId
 import graft.rules.RuleConfig._
 import graft.schema.{ScoredTurn, Turn}
 import graft.scrub.Scrub
 
 /** The quality-filter pipeline (north rule): typed Dataset in, labeled +
-  * scrubbed DataFrame out. One mapPartitions pass for broadcast-model
-  * inference (language-ID + perplexity — the only non-Catalyst stage),
-  * then pure Catalyst: scrub chain, heuristic rules, conversation
-  * windows, lineage array.
+  * scrubbed DataFrame out.
   *
-  * Scale design (SURVEY.md §4.2/§7.5):
-  *  - ONE shuffle by conv_id feeds every conversation-scoped operator:
-  *    the sequential window (lag-based contiguity/ts rules), the
-  *    duplicate window (ClusteredDistribution(conv_id, norm_text) is
-  *    satisfied by hashpartitioning(conv_id)), the conversation language
-  *    vote (partial agg map-side, then per-conv row), and the vote
-  *    join-back (both sides already partitioned by conv_id).
-  *  - All per-turn rules are codegen'd expressions (literal-pattern
-  *    regexes + custom expressions with doGenCode) — no UDFs in the hot
-  *    path besides the single model-inference mapPartitions.
-  *  - Giant conversations land in one partition only for the lag window
-  *    (its state is O(1) per row); the vote aggregation is partial-agg'd
-  *    so a 10k-turn conversation contributes one row per map task.
+  * Shape (one object pass + one shuffle + windows + one projection):
+  *  1. mapPartitions scoring pass (the only non-Catalyst stage):
+  *     broadcast-model language-ID + perplexity, plus every per-turn
+  *     text metric the rules need (norm length/hash, sentinel flag,
+  *     symbol density, repetition ratio) — computed once per row while
+  *     the String is already materialized.
+  *  2. ONE repartition by conv_id; all conversation windows ride that
+  *     partitioning (no further exchanges). Window order is chosen so
+  *     sorts are shared: (conv,lang) → (conv) reuses the same sort
+  *     prefix; 3 intra-partition sorts total, over SLIM rows (no
+  *     normalized text — see ScoredTurn).
+  *  3. Final projection: rule flags → drop_reasons lineage array,
+  *     normalized text recomputed by codegen'd regexes, PII scrub
+  *     chain, scrub counts.
+  *
+  * Scale notes (SURVEY.md §4.2/§7.5): rules are literal-pattern
+  * regexes / precomputed metrics (whole-stage codegen); the vote is a
+  * window aggregate (no join, skew = one conversation's rows in one
+  * partition, O(1) lag state); giant conversations cap the sort task
+  * but never the hash-agg.
   */
 object QualityFilter {
 
-  /** Stage 1: broadcast-model inference + whitespace normalization in a
-    * single pass (north_star: "fastText language-ID (broadcast model,
+  /** Stage 1: broadcast-model inference + per-turn metrics in a single
+    * pass (north_star: "fastText language-ID (broadcast model,
     * mapPartitions batched inference)" + KenLM-style perplexity).
     */
   def score(ds: Dataset[Turn]): Dataset[ScoredTurn] = {
@@ -46,86 +50,83 @@ object QualityFilter {
       val pplModel = pplBc.value
       it.map { t =>
         val norm = Scrub.normalizeWsPlain(t.text)
+        val isEmpty = t.text == null || Sentinels.contains(norm)
         val (lang, conf) =
           if (norm == null || norm.isEmpty) ("und", 0.0)
           else langModel.classify(norm)
         val ppl =
           if (norm == null || norm.isEmpty) 1.0
           else pplModel.perplexity(norm)
+        val nLen = if (norm == null) 0 else norm.length
         ScoredTurn(t.conv_id, t.turn_idx, t.role, t.text, t.tool, t.ts,
-          norm, lang, conf, ppl)
+          lang, conf, ppl,
+          norm_len = nLen,
+          norm_hash = TextAlgos.hash64(norm),
+          is_empty = isEmpty,
+          sym_density = if (norm == null) 0.0 else TextAlgos.symbolDensity(norm),
+          rep_ratio =
+            if (norm == null) 1.0
+            else TextAlgos.distinctNgramFraction(norm.toLowerCase, RepetitionOrder))
       }
     }
   }
 
-  /** Column predicate: the turn is "empty" (null text, blank, or a
-    * missing-value sentinel after normalization) — F1 semantics.
+  /** Eligibility for model-based rules + the conversation language
+    * vote: non-empty, long enough to carry signal, not a tool payload.
     */
-  private def emptyPred(text: Column, norm: Column): Column =
-    text.isNull || norm.isin(Sentinels.toSeq: _*)
+  private def eligible: Column =
+    !col("is_empty") && col("norm_len") >= PplMinChars &&
+      !(col("role") <=> lit("tool"))
 
-  /** Eligibility for model-based rules + the conversation language vote:
-    * non-empty, long enough to carry signal, and not a tool payload.
-    */
-  private def modelEligible(text: Column, norm: Column, role: Column): Column =
-    !emptyPred(text, norm) && length(norm) >= PplMinChars && !(role <=> lit("tool"))
-
-  /** Stage 2: full labeling. Input may be pre-scored (to reuse) or raw. */
   def label(ds: Dataset[Turn]): DataFrame = labelScored(score(ds))
 
   def labelScored(scored: Dataset[ScoredTurn]): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
 
-    // One explicit shuffle by conv_id; EVERY conversation-scoped
-    // operator below is a window over that same hash partitioning
-    // (ClusteredDistribution on (conv_id, ...) is satisfied by
-    // hashpartitioning(conv_id)), so the expensive scored subtree is
-    // computed exactly once and never re-shuffled — only re-sorted
-    // within partitions. Verified via explain in PipelinePlanSpec.
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val byConv = scored.repartition(parts, $"conv_id")
 
-    val eligible = modelEligible($"text", $"norm_text", $"role")
-
     val wSeq = Window.partitionBy($"conv_id").orderBy($"turn_idx")
-    val wDup = Window.partitionBy($"conv_id", $"norm_text").orderBy($"turn_idx")
-    val wConvLang = Window.partitionBy($"conv_id", $"lang")
+    val wDup = Window.partitionBy($"conv_id", $"norm_hash").orderBy($"turn_idx")
     val wConv = Window.partitionBy($"conv_id")
 
-    // Conversation language vote as pure window aggregates (no join, no
-    // second branch): per-(conv, lang) eligible count, then the
-    // deterministic mode = min(struct(-count, lang)) over the conv
-    // (count desc, lang asc tie-break). Aggregates ignore nulls, so
-    // non-eligible rows don't vote. Two steps because window functions
-    // can't nest.
+    // Conversation language vote: the classifier's language set is
+    // FIXED and small, so the deterministic mode (count desc, lang asc)
+    // is a handful of conditional sums over the plain (conv) window —
+    // whose sort requirement (conv) is a prefix of wSeq's (conv, turn),
+    // so the vote shares wSeq's sort. Total intra-partition sorts in
+    // the whole pipeline: 2 (conv,norm_hash,turn) + (conv,turn).
+    val langs = LangId.default.langs // sorted; eligible rows only carry these
+    val cnts = langs.toSeq.map(l =>
+      sum(when(eligible && $"lang" === l, 1).otherwise(0)).over(wConv))
+    val maxCnt = greatest(cnts: _*)
+    val convLang = when(maxCnt > 0, coalesce(
+      langs.toSeq.zip(cnts).map { case (l, c) =>
+        when(c === maxCnt, lit(l))
+      }: _*)).otherwise(lit("und"))
+
     val withWindows = byConv
+      .withColumn("dup_rank",
+        when($"is_empty", lit(1)).otherwise(row_number().over(wDup)))
       .withColumn("rn_seq", row_number().over(wSeq))
       .withColumn("prev_idx", lag($"turn_idx", 1).over(wSeq))
       .withColumn("prev_ts", lag($"ts", 1).over(wSeq))
-      .withColumn("dup_rank",
-        when(emptyPred($"text", $"norm_text"), lit(1))
-          .otherwise(row_number().over(wDup)))
-      .withColumn("vote_cnt", count(when(eligible, 1)).over(wConvLang))
-      .withColumn("conv_lang", coalesce(
-        min(when(eligible, struct((-$"vote_cnt").as("negN"), $"lang")))
-          .over(wConv).getField("lang"),
-        lit("und")))
+      .withColumn("conv_lang", convLang)
 
-    val empty = emptyPred($"text", $"norm_text")
-    val nLen = when($"norm_text".isNull, lit(0)).otherwise(length($"norm_text"))
+    val empty = $"is_empty"
+    val notTool = !($"role" <=> lit("tool"))
 
     val preds: Seq[(String, Column)] = Seq(
       RuleEmpty -> empty,
-      RuleLength -> (!empty && (nLen < MinLen || nLen > MaxLen)),
+      RuleLength -> (!empty && ($"norm_len" < MinLen || $"norm_len" > MaxLen)),
       // tool-role turns carry structured payloads (JSON/code) — exempt
       // from the prose-shape rules, like the model rules below
-      RuleSymbol -> (!empty && !($"role" <=> lit("tool")) &&
-        nLen >= SymbolDensityMinLen &&
-        symbol_density($"norm_text") > SymbolDensityThreshold),
-      RuleRepetition -> (!empty && !($"role" <=> lit("tool")) &&
-        nLen >= RepetitionMinGrams + RepetitionOrder - 1 &&
-        repetition_ratio($"norm_text", RepetitionOrder) < RepetitionDistinctMin),
+      RuleSymbol -> (!empty && notTool && $"norm_len" >= SymbolDensityMinLen &&
+        $"sym_density" > SymbolDensityThreshold),
+      RuleRepetition -> (!empty && notTool &&
+        $"norm_len" >= RepetitionMinGrams + RepetitionOrder - 1 &&
+        $"rep_ratio" < RepetitionDistinctMin),
       RuleBadRole -> ($"role".isNull || !$"role".isin(AllowedRoles.toSeq: _*)),
       // null-safe: a null role must behave like contains(null)=false
       RuleBadTool -> (($"tool".isNotNull &&
@@ -145,13 +146,21 @@ object QualityFilter {
     val reasons = array_compact(array(
       preds.map { case (name, p) => when(p, lit(name)) }: _*))
 
-    val (scrubbed, counts) = Scrub.scrubCol($"norm_text")
+    // normalize + scrub + counts fused in one custom expression (one
+    // String materialization; shares the oracle's exact code path) —
+    // computed here so the text never rode through the window sorts
+    val scrubStruct = graft.functions.GraftExpressions.scrub_all($"text")
+    val countsMap = map(
+      ScrubChain.flatMap { case (rule, _, _) =>
+        Seq(lit(rule), $"scrub_struct".getField(s"c_$rule"))
+      }: _*)
 
     withWindows
+      .withColumn("scrub_struct", scrubStruct)
       .withColumn("drop_reasons", reasons)
       .withColumn("keep", size($"drop_reasons") === 0)
-      .withColumn("scrubbed_text", scrubbed)
-      .withColumn("scrub_counts", counts)
+      .withColumn("scrubbed_text", $"scrub_struct".getField("scrubbed_text"))
+      .withColumn("scrub_counts", countsMap)
       .select(
         $"conv_id", $"turn_idx", $"role", $"text", $"tool", $"ts",
         $"keep", $"drop_reasons", $"scrubbed_text",

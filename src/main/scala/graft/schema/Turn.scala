@@ -22,9 +22,15 @@ final case class Turn(
     ts: Timestamp
 )
 
-/** A turn annotated with model scores (language-ID + perplexity), the
-  * intermediate shape produced by the single mapPartitions inference
-  * pass (broadcast models) before the Catalyst column stages.
+/** A turn annotated with model scores (language-ID + perplexity) and
+  * per-turn text metrics — everything per-row the conversation windows
+  * need, produced by the single mapPartitions inference pass (broadcast
+  * models). Deliberately SLIM: the normalized text itself is NOT
+  * carried (only its 64-bit hash, length, and derived metrics), because
+  * these rows ride through the window-stage sorts; at 32 concurrent
+  * sort tasks the stage is memory-bandwidth-bound and every byte per
+  * row costs wall-clock. The normalized text is recomputed by two
+  * codegen'd regexes in the final projection (CPU is cheap there).
   */
 final case class ScoredTurn(
     conv_id: String,
@@ -33,10 +39,14 @@ final case class ScoredTurn(
     text: String,
     tool: String,
     ts: Timestamp,
-    norm_text: String,
     lang: String,
     lang_conf: Double,
-    ppl: Double
+    ppl: Double,
+    norm_len: Int,
+    norm_hash: Long,
+    is_empty: Boolean,
+    sym_density: Double,
+    rep_ratio: Double
 )
 
 /** Output row: keep/drop label + scrubbed text + lineage.

@@ -26,15 +26,20 @@ import graft.rules.RuleConfig
 object Scrub {
 
   /** Whitespace normalization: collapse all whitespace runs to a single
-    * space, then trim. Applied before the PII chain and before every
-    * text-quality rule.
+    * space, then strip the (single possible) leading/trailing space.
+    * Applied before the PII chain and before every text-quality rule.
+    * Both paths use the same two regexes — String.trim would strip
+    * non-\s control chars (< U+0020) that Spark's trim() keeps.
     */
   def normalizeWsCol(c: Column): Column =
-    trim(regexp_replace(c, RuleConfig.WhitespaceRe, " "))
+    regexp_replace(regexp_replace(c, RuleConfig.WhitespaceRe, " "), "^ | $", "")
+
+  private val wsPat = Pattern.compile(RuleConfig.WhitespaceRe)
+  private val edgePat = Pattern.compile("^ | $")
 
   def normalizeWsPlain(s: String): String =
     if (s == null) null
-    else s.replaceAll(RuleConfig.WhitespaceRe, " ").trim
+    else edgePat.matcher(wsPat.matcher(s).replaceAll(" ")).replaceAll("")
 
   /** Column-side chain. Returns (scrubbed_text, scrub_counts) where the
     * count for each rule is the number of matches in the text state at

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Corrections, Multimodal, SemanticTypes}
+import graft.sources.Sources
+
+/** Sources / semantic types / corrections / multimodal plumbing. */
+class Ops2Spec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("csv roundtrip with sanitized names + separator decode") {
+    import spark.implicits._
+    assert(Sources.decodeSeparator("Virgule") == ",")
+    assert(Sources.decodeSeparator("Point virgule") == ";")
+    assert(Sources.decodeSeparator("Tabulation") == "\t")
+    assert(Sources.sanitizeName("2col name!") == "_ch2col_name_")
+    assert(Sources.sanitizeName("ok_name") == "ok_name")
+
+    val df = Seq((1, "a,b", "x"), (2, null, "y")).toDF("id", "payload", "3bad name")
+    val path = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/t"
+    Sources.exportCsv(df, path, Seq("id"))
+    val back = Sources.readCsv(spark, path)
+    assert(back.columns.toSeq == Seq("id", "payload", "_ch3bad_name"))
+    assert(back.count() == 2)
+    // '' -> null round-trip (reference parse_file semantics)
+    assert(back.where(col("payload").isNull).count() == 1)
+  }
+
+  test("date classify + reformat") {
+    import spark.implicits._
+    val df = Seq("2024-03-09", "03/09/2024", "09.03.2024", "20240309", "not a date")
+      .toDF("d")
+    val got = df.select(
+      SemanticTypes.classifyDateFormat(col("d")).as("fmt"),
+      SemanticTypes.reformatDate(col("d")).as("fixed"))
+      .as[(String, String)].collect().toSeq
+    assert(got(0) == (("YYYY-MM-DD", "03-09-2024")))
+    assert(got(1) == (("MM/DD/YYYY", "03-09-2024")))
+    assert(got(2) == (("DD.MM.YYYY", "03-09-2024")))
+    assert(got(3) == (("YYYYMMDD", "03-09-2024")))
+    assert(got(4)._1 == "Format de date inconnu")
+    assert(got(4)._2 == "Format de date inconnu.")
+  }
+
+  test("majority type vote: precedence and thresholds") {
+    import spark.implicits._
+    val numeric = (0 until 30).map(i => (i.toLong, s"$i.5")).toDF("id", "v")
+    assert(SemanticTypes.majorityType(numeric, "v", "id")
+      .head().getString(0) == "numerique")
+    val mixed = (0 until 30).map(i =>
+      (i.toLong, if (i % 2 == 0) s"u$i@example.com" else "zzz")).toDF("id", "v")
+    // 50% email: not > 0.6, not > 0.5 → UNKNOWN
+    assert(SemanticTypes.majorityType(mixed, "v", "id")
+      .head().getString(0) == "UNKNOWN")
+  }
+
+  test("corrections: capitalize is str.capitalize, not initcap") {
+    import spark.implicits._
+    val got = Seq("heLLo wOrld", "X", "").toDF("s")
+      .select(Corrections.capitalize(col("s"))).as[String].collect().toSeq
+    assert(got == Seq("Hello world", "X", ""))
+  }
+
+  test("corrections: currency, specials, spaces, null-out") {
+    import spark.implicits._
+    val df = Seq(("$1,234.50x", "  a   b ", "-")).toDF("m", "sp", "sent")
+    val row = df.select(
+      Corrections.currencyToNumber(col("m"), 2.0).as("c"),
+      Corrections.fixSpaces(col("sp")).as("f"),
+      Corrections.nullOut(col("sent"), col("sent") === "-").as("n"),
+      Corrections.stripSpecials(lit("a@b c!")).as("st")).head()
+    assert(row.getDouble(0) == 2469.0)
+    assert(row.getString(1) == "a b")
+    assert(row.isNullAt(2))
+    assert(row.getString(3) == "abc")
+  }
+
+  test("duplicate column detection + split gate") {
+    import spark.implicits._
+    val df = Seq((1.0, 1.0, 2.0), (3.0, 3.0, 4.0)).toDF("a", "b", "c")
+    assert(Corrections.duplicateColumnPairs(df, Seq("a", "b", "c")) == Seq(("a", "b")))
+    val twoTok = Seq("x y", "p q", "m n", "solo").toDF("v")
+    assert(Corrections.splittable(twoTok, "v"))
+    val split = Corrections.splitColumn(twoTok, "v")
+    assert(split.columns.toSeq == Seq("v_0", "v_1"))
+  }
+
+  test("multimodal featurize: deterministic, distributed, batch-shaped") {
+    val media = Multimodal.synthesize(spark,
+      spark.range(0, 40).toDF("id"), "id")
+    val feats = Multimodal.featurize(media).collect().sortBy(_.media_id)
+    assert(feats.length == 40)
+    assert(feats.forall(f => f.embedding.length == 8))
+    assert(feats.forall(f => f.brightness >= 0.0 && f.brightness <= 1.0))
+    // determinism across repartitioning
+    val feats2 = Multimodal.featurize(media.repartition(7))
+      .collect().sortBy(_.media_id)
+    assert(feats.map(_.sha_like).toSeq == feats2.map(_.sha_like).toSeq)
+    assert(feats.map(_.embedding.toSeq).toSeq == feats2.map(_.embedding.toSeq).toSeq)
+    // mime typing from metadata
+    assert(feats.map(_.mime).distinct.sorted.toSeq ==
+      Seq("audio/wav", "image/png", "video/mp4"))
+  }
+}
