@@ -305,6 +305,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "f10_special_chars" -> ((s, dir) => {
+      // per-row special-character extraction (functions.sql:1050-1085 /
+      // update_functions.sql:2-51): strip everything alnum/space, keep
+      // rows that had any specials; dirt synthesized deterministically
+      val dirty = concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit(" sp@ci&l#chars!"))
+          .when(col("doc_id") % 9 === 0, lit(" (parens) [brackets]"))
+          .otherwise(lit("")))
+      t(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          regexp_replace(dirty, "[a-zA-Z0-9\\s]", "").as("specials"))
+        .where(length(col("specials")) > 0)
+        .orderBy(col("doc_id"))
+    }),
+
+    "f15_amount_predicate" -> ((s, dir) => {
+      val v = when(col("doc_id") % 3 === 0,
+          concat((col("doc_id") % 900).cast("string"), lit(" $")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("EUR "), (col("doc_id") % 900).cast("string")))
+        .otherwise(lit("not money"))
+      t(s, dir, "documents").select(v.as("v")).agg(
+        sum(col("v").rlike("^\\d+\\s*\\$$").cast("long")).as("n_amount_suffix"),
+        sum(col("v").rlike("^(USD|EUR|GBP)\\s*\\d+$").cast("long")).as("n_amount_prefix"))
+    }),
+
     // ---------------------------------- semantic types + corrections
     "f8_date_classify" -> ((s, dir) => {
       import graft.ops.SemanticTypes
@@ -609,6 +635,26 @@ object SparkEntry {
          SELECT qid, nid, sim FROM (
            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s)
          WHERE rn <= 3 ORDER BY qid, nid""",
+
+    "f10_special_chars" ->
+      """WITH d AS (SELECT doc_id, text ||
+           CASE WHEN doc_id % 5 = 0 THEN ' sp@ci&l#chars!'
+                WHEN doc_id % 9 = 0 THEN ' (parens) [brackets]'
+                ELSE '' END AS dirty
+           FROM documents WHERE doc_id < 200)
+         SELECT doc_id, regexp_replace(dirty, '[a-zA-Z0-9\s]', '', 'g') AS specials
+         FROM d WHERE length(regexp_replace(dirty, '[a-zA-Z0-9\s]', '', 'g')) > 0
+         ORDER BY doc_id""",
+
+    "f15_amount_predicate" ->
+      """WITH v AS (SELECT CASE CAST(doc_id % 3 AS INTEGER)
+           WHEN 0 THEN CAST(doc_id % 900 AS VARCHAR) || ' $'
+           WHEN 1 THEN 'EUR ' || CAST(doc_id % 900 AS VARCHAR)
+           ELSE 'not money' END AS v FROM documents)
+         SELECT
+           CAST(sum(CASE WHEN regexp_matches(v, '^\d+\s*\$$') THEN 1 ELSE 0 END) AS BIGINT) AS n_amount_suffix,
+           CAST(sum(CASE WHEN regexp_matches(v, '^(USD|EUR|GBP)\s*\d+$') THEN 1 ELSE 0 END) AS BIGINT) AS n_amount_prefix
+         FROM v""",
 
     "f8_date_classify" ->
       """WITH d AS (SELECT o_orderkey,

@@ -283,4 +283,22 @@ object TextAlgos {
   }
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** `transform_string` (reference utils.py:538-543): uppercase,
+    * spaces → '_', Unicode NFD accent strip. Applied to anomaly codes.
+    */
+  def transformString(s: String): String = {
+    if (s == null) return null
+    val decomposed = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    decomposed.replaceAll("\\p{M}", "").toUpperCase.replace(' ', '_')
+  }
+
+  /** Base64 check (reference utils.py:47-59): decodes and re-encodes. */
+  def isBase64(s: String): Boolean = {
+    if (s == null || s.isEmpty || s.length % 4 != 0) return false
+    try {
+      val dec = java.util.Base64.getDecoder.decode(s)
+      java.util.Base64.getEncoder.encodeToString(dec) == s
+    } catch { case _: IllegalArgumentException => false }
+  }
 }

@@ -109,63 +109,23 @@ object QualityFilter {
     val withWindows = byConv
       .withColumn("dup_rank",
         when($"is_empty", lit(1)).otherwise(row_number().over(wDup)))
-      .withColumn("rn_seq", row_number().over(wSeq))
+      .withColumn("is_first", row_number().over(wSeq) === 1)
       .withColumn("prev_idx", lag($"turn_idx", 1).over(wSeq))
       .withColumn("prev_ts", lag($"ts", 1).over(wSeq))
       .withColumn("conv_lang", convLang)
 
-    val empty = $"is_empty"
-    val notTool = !($"role" <=> lit("tool"))
-
-    val preds: Seq[(String, Column)] = Seq(
-      RuleEmpty -> empty,
-      RuleLength -> (!empty && ($"norm_len" < MinLen || $"norm_len" > MaxLen)),
-      // tool-role turns carry structured payloads (JSON/code) — exempt
-      // from the prose-shape rules, like the model rules below
-      RuleSymbol -> (!empty && notTool && $"norm_len" >= SymbolDensityMinLen &&
-        $"sym_density" > SymbolDensityThreshold),
-      RuleRepetition -> (!empty && notTool &&
-        $"norm_len" >= RepetitionMinGrams + RepetitionOrder - 1 &&
-        $"rep_ratio" < RepetitionDistinctMin),
-      RuleBadRole -> ($"role".isNull || !$"role".isin(AllowedRoles.toSeq: _*)),
-      // null-safe: a null role must behave like contains(null)=false
-      RuleBadTool -> (($"tool".isNotNull &&
-        !coalesce($"role".isin(ToolBearingRoles.toSeq: _*), lit(false))) ||
-        ($"role" <=> lit("tool") && $"tool".isNull)),
-      RuleNonContiguous -> (when($"rn_seq" === 1, $"turn_idx" =!= 0)
-        .otherwise($"turn_idx" =!= $"prev_idx" + 1)),
-      RuleTsRegress -> ($"rn_seq" > 1 && $"ts".isNotNull && $"prev_ts".isNotNull &&
-        $"ts" < $"prev_ts"),
-      RuleDuplicate -> (!empty && $"dup_rank" > 1),
-      RuleLang -> (eligible && !$"lang".isin(AllowedLangs.toSeq: _*) &&
-        ($"lang_conf" >= LangDropConf || !$"conv_lang".isin(AllowedLangs.toSeq: _*))),
-      RulePpl -> (eligible && $"ppl" > PplMax)
-    )
-    require(preds.map(_._1) == RuleOrder, "rule order drift vs RuleConfig")
-
-    val reasons = array_compact(array(
-      preds.map { case (name, p) => when(p, lit(name)) }: _*))
-
-    // normalize + scrub + counts fused in one custom expression (one
-    // String materialization; shares the oracle's exact code path) —
-    // computed here so the text never rode through the window sorts
-    val scrubStruct = graft.functions.GraftExpressions.scrub_all($"text")
-    val countsMap = map(
-      ScrubChain.flatMap { case (rule, _, _) =>
-        Seq(lit(rule), $"scrub_struct".getField(s"c_$rule"))
-      }: _*)
-
-    withWindows
-      .withColumn("scrub_struct", scrubStruct)
-      .withColumn("drop_reasons", reasons)
-      .withColumn("keep", size($"drop_reasons") === 0)
-      .withColumn("scrubbed_text", $"scrub_struct".getField("scrubbed_text"))
-      .withColumn("scrub_counts", countsMap)
-      .select(
-        $"conv_id", $"turn_idx", $"role", $"text", $"tool", $"ts",
-        $"keep", $"drop_reasons", $"scrubbed_text",
-        $"lang", $"lang_conf", $"ppl", $"scrub_counts")
+    // rule evaluation + fused scrub projection shared with the
+    // skew-split giant-conversation path (single implementation)
+    SkewSplit.finishLabeling(withWindows)
   }
+
+  /** Label with explicit skew handling: conversations above
+    * `skewMaxTurns` are routed through range-bucketed windows
+    * (see [[SkewSplit]]); 0 disables the split.
+    */
+  def label(ds: Dataset[Turn], skewMaxTurns: Int): DataFrame =
+    if (skewMaxTurns <= 0) label(ds)
+    else SkewSplit.label(score(ds), skewMaxTurns)
 
   /** End-to-end convenience: read parquet transcripts → labeled output. */
   def run(spark: SparkSession, inputPath: String): DataFrame = {

@@ -1,0 +1,162 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.lang.LangId
+import graft.rules.RuleConfig._
+import graft.schema.ScoredTurn
+import graft.scrub.Scrub
+
+/** Explicit skew handling for pathological conversations (north rule:
+  * "conv_id skew handled with salted repartitioning and AQE").
+  *
+  * Window functions need every row of a partition key in one task, so a
+  * conversation with tens of millions of turns caps the window stage at
+  * one straggler task no matter how many executors exist. AQE's skew
+  * split only fixes JOINS, not windows — so we split explicitly:
+  *
+  *  1. conversation sizes via groupBy(conv_id).count — partial-agg'd,
+  *     inherently skew-proof;
+  *  2. conversations ≤ maxTurns take the standard single-sort window
+  *     path ([[QualityFilter.labelScored]]);
+  *  3. giant conversations take a range-bucketed path: turns are salted
+  *     into (conv_id, turn_idx / maxTurns) buckets — windows partition
+  *     on the salted key, so a 10M-turn conversation becomes many
+  *     bounded tasks. The sequential rules (contiguity, ts-regression,
+  *     first-turn) need one row of cross-bucket state: the last row of
+  *     each bucket, carried by a per-bucket boundary table (rows =
+  *     #buckets, tiny) lag-joined back on the salted key. The language
+  *     vote becomes a two-phase aggregation + broadcast join (giant
+  *     conversations are by definition few). Duplicate ranking already
+  *     partitions by (conv_id, norm_hash), which spreads giant
+  *     conversations naturally.
+  *
+  * Both paths produce identical labels (SkewSpec asserts equality with
+  * the golden oracle and with the unsplit pipeline).
+  */
+object SkewSplit {
+
+  def label(scored: Dataset[ScoredTurn], maxTurns: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+
+    val sizes = scored.groupBy($"conv_id").agg(count(lit(1)).as("n_turns"))
+    val giants = sizes.where($"n_turns" > maxTurns).select($"conv_id")
+
+    val normal = scored.join(broadcast(giants), Seq("conv_id"), "left_anti")
+    val giant = scored.join(broadcast(giants), Seq("conv_id"), "left_semi")
+
+    QualityFilter.labelScored(normal.as[ScoredTurn])
+      .unionByName(labelGiant(giant.as[ScoredTurn], maxTurns))
+  }
+
+  private def eligible = !col("is_empty") &&
+    col("norm_len") >= PplMinChars && !(col("role") <=> lit("tool"))
+
+  /** Bucketed-window labeling for giant conversations. Semantics are
+    * identical to QualityFilter.labelScored; only the physical window
+    * partitioning differs.
+    */
+  private[pipeline] def labelGiant(scored: Dataset[ScoredTurn], bucketTurns: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+
+    val bucketed = scored.withColumn("bkt", floor($"turn_idx" / bucketTurns))
+
+    // windows over the SALTED key — giant conversations split into
+    // bounded tasks
+    val wBkt = Window.partitionBy($"conv_id", $"bkt").orderBy($"turn_idx")
+    val wDup = Window.partitionBy($"conv_id", $"norm_hash").orderBy($"turn_idx")
+
+    val local = bucketed
+      .withColumn("dup_rank",
+        when($"is_empty", lit(1)).otherwise(row_number().over(wDup)))
+      .withColumn("rn_bkt", row_number().over(wBkt))
+      .withColumn("prev_idx_l", lag($"turn_idx", 1).over(wBkt))
+      .withColumn("prev_ts_l", lag($"ts", 1).over(wBkt))
+
+    // cross-bucket state: last row of each (conv, bucket), lagged over
+    // the (tiny) per-bucket table so each bucket sees its predecessor's
+    // boundary even across empty buckets (turn_idx gaps)
+    val wConvBkt = Window.partitionBy($"conv_id").orderBy($"bkt")
+    val boundaries = bucketed
+      .groupBy($"conv_id", $"bkt")
+      .agg(max(struct($"turn_idx", $"ts")).as("last"))
+      .select($"conv_id", $"bkt",
+        lag($"last".getField("turn_idx"), 1).over(wConvBkt).as("prev_idx_b"),
+        lag($"last".getField("ts"), 1).over(wConvBkt).as("prev_ts_b"),
+        lag($"bkt", 1).over(wConvBkt).isNull.as("first_bkt"))
+
+    val withPrev = local
+      .join(boundaries, Seq("conv_id", "bkt"))
+      .withColumn("is_first", $"first_bkt" && $"rn_bkt" === 1)
+      .withColumn("prev_idx", coalesce($"prev_idx_l", $"prev_idx_b"))
+      .withColumn("prev_ts", coalesce($"prev_ts_l", $"prev_ts_b"))
+
+    // language vote: two-phase aggregation (map-side combine soaks the
+    // skew) + broadcast join back (few giant conversations)
+    val langs = LangId.default.langs
+    val voteAggs = langs.toSeq.map(l =>
+      sum(when(eligible && $"lang" === l, 1).otherwise(0)).as(s"cnt_$l"))
+    val votes = bucketed.groupBy($"conv_id").agg(voteAggs.head, voteAggs.tail: _*)
+    val maxCnt = greatest(langs.toSeq.map(l => col(s"cnt_$l")): _*)
+    val voteTable = votes.select($"conv_id",
+      when(maxCnt > 0, coalesce(langs.toSeq.map(l =>
+        when(col(s"cnt_$l") === maxCnt, lit(l))): _*))
+        .otherwise(lit("und")).as("conv_lang"))
+
+    val withVote = withPrev.join(broadcast(voteTable), Seq("conv_id"))
+
+    finishLabeling(withVote)
+  }
+
+  /** Rule evaluation + scrub — shared semantics, expressed over the
+    * prev/first/dup/conv_lang columns whichever path produced them.
+    */
+  private[pipeline] def finishLabeling(df: DataFrame): DataFrame = {
+    val empty = col("is_empty")
+    val notTool = !(col("role") <=> lit("tool"))
+    val preds: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      RuleEmpty -> empty,
+      RuleLength -> (!empty && (col("norm_len") < MinLen || col("norm_len") > MaxLen)),
+      RuleSymbol -> (!empty && notTool && col("norm_len") >= SymbolDensityMinLen &&
+        col("sym_density") > SymbolDensityThreshold),
+      RuleRepetition -> (!empty && notTool &&
+        col("norm_len") >= RepetitionMinGrams + RepetitionOrder - 1 &&
+        col("rep_ratio") < RepetitionDistinctMin),
+      RuleBadRole -> (col("role").isNull || !col("role").isin(AllowedRoles.toSeq: _*)),
+      RuleBadTool -> ((col("tool").isNotNull &&
+        !coalesce(col("role").isin(ToolBearingRoles.toSeq: _*), lit(false))) ||
+        (col("role") <=> lit("tool") && col("tool").isNull)),
+      RuleNonContiguous -> (when(col("is_first"), col("turn_idx") =!= 0)
+        .otherwise(col("turn_idx") =!= col("prev_idx") + 1)),
+      RuleTsRegress -> (!col("is_first") && col("ts").isNotNull &&
+        col("prev_ts").isNotNull && col("ts") < col("prev_ts")),
+      RuleDuplicate -> (!empty && col("dup_rank") > 1),
+      RuleLang -> (eligible && !col("lang").isin(AllowedLangs.toSeq: _*) &&
+        (col("lang_conf") >= LangDropConf ||
+          !col("conv_lang").isin(AllowedLangs.toSeq: _*))),
+      RulePpl -> (eligible && col("ppl") > PplMax)
+    )
+    require(preds.map(_._1) == RuleOrder, "rule order drift vs RuleConfig")
+
+    val reasons = array_compact(array(
+      preds.map { case (name, p) => when(p, lit(name)) }: _*))
+    val countsMap = map(
+      ScrubChain.flatMap { case (rule, _, _) =>
+        Seq(lit(rule), col("scrub_struct").getField(s"c_$rule"))
+      }: _*)
+
+    df.withColumn("scrub_struct", graft.functions.GraftExpressions.scrub_all(col("text")))
+      .withColumn("drop_reasons", reasons)
+      .withColumn("keep", size(col("drop_reasons")) === 0)
+      .withColumn("scrubbed_text", col("scrub_struct").getField("scrubbed_text"))
+      .withColumn("scrub_counts", countsMap)
+      .select(
+        col("conv_id"), col("turn_idx"), col("role"), col("text"), col("tool"), col("ts"),
+        col("keep"), col("drop_reasons"), col("scrubbed_text"),
+        col("lang"), col("lang_conf"), col("ppl"), col("scrub_counts"))
+  }
+}
