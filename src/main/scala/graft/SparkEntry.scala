@@ -461,6 +461,37 @@ object SparkEntry {
         .orderBy(col("val"))
     }),
 
+    "a3_profile" -> ((s, dir) => {
+      TextStats.profile(t(s, dir, "documents"), "text", "source")
+    }),
+
+    "ts3_bpe_tokens" -> ((s, dir) => {
+      // BPE-ish tokenization: word pieces + standalone punctuation
+      t(s, dir, "documents").groupBy(col("lang"))
+        .agg(sum(size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
+          .cast("long").as("n_tokens"))
+        .orderBy(col("lang"))
+    }),
+
+    "lid1_langid_docs" -> ((s, dir) => {
+      // broadcast-model language-ID over the documents table (rows-only:
+      // the model is ours, not SQL-expressible)
+      import s.implicits._
+      val bc = s.sparkContext.broadcast(graft.lang.LangId.default)
+      val scored = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val m = bc.value
+          it.map { case (id, text) =>
+            val (l, c) = m.classify(text)
+            (id, l, math.round(c * 10000.0) / 10000.0)
+          }
+        }.toDF("doc_id", "pred_lang", "conf")
+      scored.groupBy(col("pred_lang"))
+        .agg(count(lit(1)).as("n"), round(avg(col("conf")), 4).as("avg_conf"))
+        .orderBy(col("pred_lang"))
+    }),
+
     // --------------------------------------------------- multimodal stub
     "mm1_multimodal_features" -> ((s, dir) => {
       import graft.ops.Multimodal
@@ -635,6 +666,20 @@ object SparkEntry {
          SELECT qid, nid, sim FROM (
            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s)
          WHERE rn <= 3 ORDER BY qid, nid""",
+
+    "a3_profile" ->
+      """SELECT source, count(*) AS n_rows,
+           CAST(sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_blank,
+           min(length(text)) AS min_len, max(length(text)) AS max_len,
+           round(avg(length(text)), 4) AS avg_len,
+           CAST(sum(CASE WHEN text = upper(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_upper,
+           CAST(sum(CASE WHEN text = lower(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_lower,
+           round(avg(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens
+         FROM documents GROUP BY source ORDER BY source""",
+
+    "ts3_bpe_tokens" ->
+      """SELECT lang, CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_tokens
+         FROM documents GROUP BY lang ORDER BY lang""",
 
     "f10_special_chars" ->
       """WITH d AS (SELECT doc_id, text ||

@@ -115,7 +115,7 @@ object SkewSplit {
   /** Rule evaluation + scrub — shared semantics, expressed over the
     * prev/first/dup/conv_lang columns whichever path produced them.
     */
-  private[pipeline] def finishLabeling(df: DataFrame): DataFrame = {
+  private[graft] def finishLabeling(df: DataFrame): DataFrame = {
     val empty = col("is_empty")
     val notTool = !(col("role") <=> lit("tool"))
     val preds: Seq[(String, org.apache.spark.sql.Column)] = Seq(
