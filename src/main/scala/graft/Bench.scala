@@ -133,6 +133,9 @@ object Bench {
 
     // ---- headline queries at full parallelism
     val spark = session(cpus)
+    // absorb session/codegen/JIT startup outside the measured region
+    spark.range(0, 1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/nation.parquet").count()
     val queries = headlineNames.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

@@ -120,10 +120,33 @@ object SparkEntry {
 
     // ------------------------------------------- row-level checks (F*)
     "f1_missing_sentinels" -> ((s, dir) => {
+      val missing = col("text").isNull || trim(col("text")).isin(sentinels: _*)
       t(s, dir, "documents").agg(
         count(lit(1)).as("n_rows"),
-        sum(when(col("text").isNull || trim(col("text")).isin(sentinels: _*), 1)
-          .otherwise(0)).cast("long").as("n_missing"))
+        sum(when(missing, 1).otherwise(0)).cast("long").as("n_missing"),
+        sum(when(!missing, 1).otherwise(0)).cast("long").as("n_nonmissing"))
+    }),
+
+    "c2_outlier_impute" -> ((s, dir) => {
+      // C2/C13: replace IQR outliers by the column mean (and median
+      // variant), computed from 1-row stats (no driver loop)
+      val li = t(s, dir, "lineitem")
+      val stats = li.agg(
+        percentile(col("l_extendedprice"), lit(0.25)).as("q1"),
+        percentile(col("l_extendedprice"), lit(0.75)).as("q3"),
+        round(avg(col("l_extendedprice")), 2).as("mu"),
+        round(percentile(col("l_extendedprice"), lit(0.5)), 2).as("med"))
+      val lo = col("q1") - (col("q3") - col("q1")) * 1.5
+      val hi = col("q3") + (col("q3") - col("q1")) * 1.5
+      val isOut = col("l_extendedprice") < lo || col("l_extendedprice") > hi
+      li.crossJoin(stats)
+        .select(
+          when(isOut, col("mu")).otherwise(round(col("l_extendedprice"), 2)).as("imputed_mean"),
+          when(isOut, col("med")).otherwise(round(col("l_extendedprice"), 2)).as("imputed_median"),
+          isOut.cast("int").as("was_outlier"))
+        .agg(round(sum(col("imputed_mean")), 2).as("sum_mean_imputed"),
+          round(sum(col("imputed_median")), 2).as("sum_median_imputed"),
+          sum(col("was_outlier")).cast("long").as("n_imputed"))
     }),
 
     "f4_regex_scan" -> ((s, dir) => {
@@ -573,8 +596,24 @@ object SparkEntry {
 
     "f1_missing_sentinels" ->
       s"""SELECT count(*) AS n_rows,
-          CAST(sum(CASE WHEN text IS NULL OR trim(text) IN $sentinelsSql THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+          CAST(sum(CASE WHEN text IS NULL OR trim(text) IN $sentinelsSql THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+          CAST(sum(CASE WHEN NOT (text IS NULL OR trim(text) IN $sentinelsSql) THEN 1 ELSE 0 END) AS BIGINT) AS n_nonmissing
           FROM documents""",
+
+    "c2_outlier_impute" ->
+      """WITH s AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+                           quantile_cont(l_extendedprice, 0.75) AS q3,
+                           round(avg(l_extendedprice), 2) AS mu,
+                           round(quantile_cont(l_extendedprice, 0.5), 2) AS med
+                    FROM lineitem),
+         f AS (SELECT CASE WHEN l_extendedprice < q1 - (q3 - q1) * 1.5
+                             OR l_extendedprice > q3 + (q3 - q1) * 1.5
+                           THEN 1 ELSE 0 END AS was_outlier,
+                      l_extendedprice, mu, med FROM lineitem, s)
+         SELECT round(sum(CASE WHEN was_outlier = 1 THEN mu ELSE round(l_extendedprice, 2) END), 2) AS sum_mean_imputed,
+                round(sum(CASE WHEN was_outlier = 1 THEN med ELSE round(l_extendedprice, 2) END), 2) AS sum_median_imputed,
+                CAST(sum(was_outlier) AS BIGINT) AS n_imputed
+         FROM f""",
 
     "f4_regex_scan" ->
       """WITH d AS (SELECT source, text ||

@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver's smoke contract: entry() returns rows; every queries()
+  * key has a matching oracleSql key or is intentionally rows-only.
+  */
+class EntrySmokeSpec extends AnyFunSuite {
+
+  test("entry returns rows on sf0.001-equivalent input") {
+    val df = SparkEntry.entry(TestSpark.spark)
+    assert(df.count() > 0)
+    assert(df.columns.contains("keep") && df.columns.contains("scrubbed_text"))
+  }
+
+  test("every oracle key has a query; rows-only set is the intended one") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"orphan oracles: ${o -- q}")
+    val rowsOnly = q -- o
+    val expectedRowsOnly = Set(
+      "qf1_quality_filter",      // transcript pipeline (our semantics)
+      "lid1_langid_docs",        // broadcast model, not SQL
+      "dd2_minhash_pairs", "dd3_simhash_pairs", "dd4_consecutive_jaccard",
+      "ann2_lsh_topk", "ann3_embed_neardup",  // LSH recall ≠ SQL brute force
+      "ts2_fingerprint",         // custom rolling hash
+      "mm1_multimodal_features") // stub decoder
+    assert(rowsOnly == expectedRowsOnly,
+      s"unexpected rows-only queries: ${rowsOnly -- expectedRowsOnly}; " +
+        s"missing: ${expectedRowsOnly -- rowsOnly}")
+  }
+}
