@@ -284,6 +284,41 @@ object TextAlgos {
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** All per-turn text metrics in ONE pass over the normalized text:
+    * (symbol density, 64-bit hash, distinct-trigram fraction over
+    * per-char lowercased text). Values identical to calling
+    * symbolDensity / hash64 / distinctNgramFraction(toLowerCase)
+    * separately for ASCII inputs; for exact parity the pipeline AND the
+    * oracle both call only this (per-char Character.toLowerCase — the
+    * sequential oracle is the semantics definition).
+    */
+  def turnMetrics(s: String, order: Int): (Double, Long, Double) = {
+    if (s == null) return (0.0, 0L, 1.0)
+    val len = s.length
+    var sym = 0
+    var h = 0xcbf29ce484222325L
+    val total = len - order + 1
+    val seen = if (total >= 2) new java.util.HashSet[Long](math.min(total, 1 << 16)) else null
+    var distinct = 0
+    var rolling = 0L // last `order` lowercased chars packed 16 bits each
+    val mask = (1L << (16 * order)) - 1
+    var i = 0
+    while (i < len) {
+      val c = s.charAt(i)
+      if (!Character.isLetterOrDigit(c) && !Character.isWhitespace(c)) sym += 1
+      h ^= c.toLong
+      h *= 0x100000001b3L
+      if (seen != null) {
+        rolling = ((rolling << 16) | Character.toLowerCase(c).toLong) & mask
+        if (i >= order - 1 && seen.add(rolling)) distinct += 1
+      }
+      i += 1
+    }
+    val symD = if (len == 0) 0.0 else sym.toDouble / len.toDouble
+    val rep = if (total < 2) 1.0 else distinct.toDouble / total.toDouble
+    (symD, mix64(h), rep)
+  }
+
   /** `transform_string` (reference utils.py:538-543): uppercase,
     * spaces → '_', Unicode NFD accent strip. Applied to anomaly codes.
     */

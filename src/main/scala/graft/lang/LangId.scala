@@ -11,7 +11,7 @@ import graft.lm.NGramLM
   *
   * Deterministic: pure FP with fixed per-language iteration order.
   */
-final class LangIdModel(val langs: Array[String], models: Array[NGramLM])
+final class LangIdModel(val langs: Array[String], val models: Array[NGramLM])
     extends Serializable {
 
   /** Returns (lang, confidence). Confidence is the softmax posterior of

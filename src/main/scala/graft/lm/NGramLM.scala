@@ -49,6 +49,15 @@ final class NGramLM private (
     default // unreachable
   }
 
+  /** log P contribution for one precomputed (gram, ctx) key pair —
+    * used by [[TurnScorer]] to probe several models per char with the
+    * keys computed once. Accumulation order identical to [[logProb]],
+    * so results are bit-equal.
+    */
+  def lpFor(gram: Long, ctx: Long): Double =
+    probe(gramKeys, gramLogNum, gramMask, gram, logNumUnseen) -
+      probe(ctxKeys, ctxLogDen, ctxMask, ctx, logDenUnseen)
+
   /** Sum of log P(c | prev2) over the normalized text; 0 chars → 0.0. */
   def logProb(text: String): (Double, Int) = {
     if (text == null || text.isEmpty) return (0.0, 0)

@@ -34,14 +34,9 @@ object OracleFilter {
   private def labelConv(conv: Seq[Turn]): Seq[LabeledTurn] = {
     val norms = conv.map(t => Scrub.normalizeWsPlain(t.text))
 
-    // model scores
-    val scores = conv.zip(norms).map { case (_, norm) =>
-      if (norm == null || norm.isEmpty) ("und", 0.0, 1.0)
-      else {
-        val (l, c) = LangId.default.classify(norm)
-        (l, c, LangId.pplModel.perplexity(norm))
-      }
-    }
+    // model scores (same fused scorer as the pipeline)
+    val scorer = graft.lm.TurnScorer(LangId.default, LangId.pplModel)
+    val scores = norms.map(scorer.score)
 
     // conversation language vote (count desc, lang asc)
     val votes = mutable.Map.empty[String, Int]
@@ -58,8 +53,9 @@ object OracleFilter {
     // The pipeline groups by the same 64-bit hash (slim window rows),
     // so parity holds exactly — even under a hash collision.
     val seen = mutable.Map.empty[Long, Int]
+    val metrics = norms.map(n => TextAlgos.turnMetrics(n, RepetitionOrder))
     val dupRanks = conv.indices.map { i =>
-      val key = TextAlgos.hash64(norms(i))
+      val key = metrics(i)._2
       val r = seen.getOrElse(key, 0) + 1
       seen(key) = r
       r
@@ -77,10 +73,10 @@ object OracleFilter {
       if (empty) reasons += RuleEmpty
       if (!empty && (nLen < MinLen || nLen > MaxLen)) reasons += RuleLength
       if (!empty && t.role != "tool" && nLen >= SymbolDensityMinLen &&
-          TextAlgos.symbolDensity(norm) > SymbolDensityThreshold)
+          metrics(i)._1 > SymbolDensityThreshold)
         reasons += RuleSymbol
       if (!empty && t.role != "tool" && nLen >= RepetitionMinGrams + RepetitionOrder - 1 &&
-          TextAlgos.distinctNgramFraction(norm.toLowerCase, RepetitionOrder) < RepetitionDistinctMin)
+          metrics(i)._3 < RepetitionDistinctMin)
         reasons += RuleRepetition
       if (t.role == null || !AllowedRoles.contains(t.role)) reasons += RuleBadRole
       if ((t.tool != null && !ToolBearingRoles.contains(t.role)) ||

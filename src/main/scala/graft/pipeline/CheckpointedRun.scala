@@ -31,14 +31,15 @@ object CheckpointedRun {
       bucketsSkipped: Seq[Int])
 
   def run(input: Dataset[Turn], outRoot: String, nBuckets: Int,
-          metricsRoot: Option[String] = None): RunResult = {
+          metricsRoot: Option[String] = None,
+          skewMaxTurns: Int = 0): RunResult = {
     val table = SnapshotTable(outRoot, nBuckets)
     val done = table.completedBuckets
     val todo = (0 until nBuckets).filterNot(done)
     val bucket = Metrics.bucketCol(nBuckets)
 
     todo.foreach { b =>
-      val labeled = QualityFilter.label(input.where(bucket === b))
+      val labeled = QualityFilter.label(input.where(bucket === b), skewMaxTurns)
       table.commitBucket(labeled, b)
       metricsRoot.foreach { mr =>
         Metrics.bucketStats(labeled, nBuckets)

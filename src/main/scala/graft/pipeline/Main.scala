@@ -1,0 +1,44 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+
+import graft.schema.Turn
+
+/** spark-submit entrypoint for the quality filter:
+  *
+  *   spark-submit --class graft.pipeline.Main <jar> \
+  *     --input  <parquet dir of (conv_id,turn_idx,role,text,tool,ts)> \
+  *     --output <snapshot table root> \
+  *     [--metrics <metrics table root>] \
+  *     [--buckets 256] [--skew-max-turns 0]
+  *
+  * Runs checkpoint-resumable: re-submitting after a failure skips
+  * committed buckets. Lineage + counters land under --metrics.
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    val input = opts.getOrElse("input",
+      sys.error("--input <parquet dir> required"))
+    val output = opts.getOrElse("output",
+      sys.error("--output <table root> required"))
+    val buckets = opts.getOrElse("buckets", "256").toInt
+    val skewMax = opts.getOrElse("skew-max-turns", "0").toInt
+
+    val spark = SparkSession.builder()
+      .appName("graft-quality-filter")
+      .getOrCreate()
+    import spark.implicits._
+
+    val turns = spark.read.schema(Turn.schema).parquet(input).as[Turn]
+    val res = CheckpointedRun.run(turns, output, buckets,
+      metricsRoot = opts.get("metrics"), skewMaxTurns = skewMax)
+    // scalastyle:off println — job summary on stdout is the contract
+    println(s"graft: snapshot v${res.snapshotVersion}; " +
+      s"computed buckets ${res.bucketsComputed.mkString(",")}; " +
+      s"skipped ${res.bucketsSkipped.size} already-committed buckets")
+    spark.stop()
+  }
+}

@@ -43,30 +43,23 @@ object QualityFilter {
   def score(ds: Dataset[Turn]): Dataset[ScoredTurn] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    val langBc = spark.sparkContext.broadcast(LangId.default)
-    val pplBc = spark.sparkContext.broadcast(LangId.pplModel)
+    val scorerBc = spark.sparkContext.broadcast(
+      graft.lm.TurnScorer(LangId.default, LangId.pplModel))
     ds.mapPartitions { it =>
-      val langModel = langBc.value
-      val pplModel = pplBc.value
+      val scorer = scorerBc.value
       it.map { t =>
         val norm = Scrub.normalizeWsPlain(t.text)
         val isEmpty = t.text == null || Sentinels.contains(norm)
-        val (lang, conf) =
-          if (norm == null || norm.isEmpty) ("und", 0.0)
-          else langModel.classify(norm)
-        val ppl =
-          if (norm == null || norm.isEmpty) 1.0
-          else pplModel.perplexity(norm)
-        val nLen = if (norm == null) 0 else norm.length
+        // one fused pass for all 5 model probes, one for text metrics
+        val (lang, conf, ppl) = scorer.score(norm)
+        val (symD, hash, rep) = TextAlgos.turnMetrics(norm, RepetitionOrder)
         ScoredTurn(t.conv_id, t.turn_idx, t.role, t.text, t.tool, t.ts,
           lang, conf, ppl,
-          norm_len = nLen,
-          norm_hash = TextAlgos.hash64(norm),
+          norm_len = if (norm == null) 0 else norm.length,
+          norm_hash = hash,
           is_empty = isEmpty,
-          sym_density = if (norm == null) 0.0 else TextAlgos.symbolDensity(norm),
-          rep_ratio =
-            if (norm == null) 1.0
-            else TextAlgos.distinctNgramFraction(norm.toLowerCase, RepetitionOrder))
+          sym_density = symD,
+          rep_ratio = rep)
       }
     }
   }

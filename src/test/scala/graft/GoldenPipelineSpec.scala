@@ -60,6 +60,27 @@ class GoldenPipelineSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("medium corpus: exact parity + keep/drop F1 reported (target ≥ 0.99)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val turns = TranscriptGen.generateLocal(4000, seed = 2026, skewCap = 1500)
+    info(s"corpus: ${turns.size} turns, ${turns.map(_.conv_id).distinct.size} convs")
+    val expected = OracleFilter.run(turns).map(normalize)
+    val actual = QualityFilter.label(spark.createDataset(turns).repartition(16))
+      .as[LabeledTurn].collect().sortBy(t => (t.conv_id, t.turn_idx)).map(normalize)
+
+    // keep/drop F1 vs the reference-semantics oracle (the BASELINE
+    // metric; exact parity implies F1 = 1.0)
+    val tp = expected.zip(actual).count { case (e, a) => !e.keep && !a.keep }
+    val fp = expected.zip(actual).count { case (e, a) => e.keep && !a.keep }
+    val fn = expected.zip(actual).count { case (e, a) => !e.keep && a.keep }
+    val f1 = 2.0 * tp / (2.0 * tp + fp + fn)
+    info(f"keep/drop F1 = $f1%.6f (drops: ${expected.count(!_.keep)} of ${expected.size})")
+    assert(f1 >= 0.99)
+    // and the stronger gate: full per-turn equality incl. scrubbed text
+    assert(expected.zip(actual).count { case (e, a) => e != a } == 0)
+  }
+
   test("distributed generator == local generator") {
     val spark = TestSpark.spark
     val viaSpark = TranscriptGen.generate(spark, 50, seed = 99, skewCap = 200, partitions = 6)
