@@ -138,10 +138,14 @@ object Bench {
     spark.read.parquet(s"$sfDir/nation.parquet").count()
     val queries = headlineNames.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // codegen/JIT for this query's plan shape
+      name -> math.min(once(), once()) // steady-state
     }
 
     // ---- scaling corpus (written once, read by both children)

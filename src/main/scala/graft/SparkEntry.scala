@@ -188,6 +188,28 @@ object SparkEntry {
         .orderBy(col("val"))
     }),
 
+    "j2b_suggest_multichannel" -> ((s, dir) => {
+      // J2's multi-channel scoring (functions.sql:1665-1727): each
+      // anomaly scored on several channels (raw name, specials-stripped
+      // name, upper-cased), keep GREATEST; top-1 per anomaly
+      val anomalies = s.createDataFrame(Seq(
+        Tuple1("NAT-ION_3"), Tuple1("nation 12!"), Tuple1("NATIO__N_7")
+      )).toDF("val")
+      val strip = (c: org.apache.spark.sql.Column) =>
+        regexp_replace(upper(c), "[^A-Z0-9]", "")
+      val scored = anomalies.crossJoin(broadcast(t(s, dir, "nation")))
+        .select(col("val"), col("n_name"),
+          round(greatest(
+            jaro_winkler(upper(col("val")), upper(col("n_name"))),
+            jaro_winkler(strip(col("val")), strip(col("n_name")))
+          ), 6).as("sim"))
+        .where(col("sim") >= 0.85)
+      val w = Window.partitionBy(col("val")).orderBy(col("sim").desc, col("n_name").asc)
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("val"), col("n_name").as("suggestion"), col("sim"))
+        .orderBy(col("val"))
+    }),
+
     "j4_translate_lookup" -> ((s, dir) => {
       t(s, dir, "nation").join(broadcast(t(s, dir, "region")),
           col("n_regionkey") === col("r_regionkey"), "left")
@@ -635,6 +657,21 @@ object SparkEntry {
                                    ('NATION 21'), ('nation_5'), ('XQZVWK')),
          s AS (SELECT val, n_name,
                  round(jaro_winkler_similarity(upper(val), upper(n_name)), 6) AS sim
+               FROM anom, nation)
+         SELECT val, n_name AS suggestion, sim FROM (
+           SELECT *, row_number() OVER (PARTITION BY val ORDER BY sim DESC, n_name) AS rn
+           FROM s WHERE sim >= 0.85)
+         WHERE rn = 1 ORDER BY val""",
+
+    "j2b_suggest_multichannel" ->
+      """WITH anom(val) AS (VALUES ('NAT-ION_3'), ('nation 12!'), ('NATIO__N_7')),
+         s AS (SELECT val, n_name,
+                 round(greatest(
+                   jaro_winkler_similarity(upper(val), upper(n_name)),
+                   jaro_winkler_similarity(
+                     regexp_replace(upper(val), '[^A-Z0-9]', '', 'g'),
+                     regexp_replace(upper(n_name), '[^A-Z0-9]', '', 'g'))
+                 ), 6) AS sim
                FROM anom, nation)
          SELECT val, n_name AS suggestion, sim FROM (
            SELECT *, row_number() OVER (PARTITION BY val ORDER BY sim DESC, n_name) AS rn

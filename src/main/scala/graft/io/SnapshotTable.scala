@@ -37,22 +37,10 @@ final class SnapshotTable(val root: String, val nBuckets: Int) {
       new String(Files.readAllBytes(versionFile), StandardCharsets.UTF_8).trim.toInt
     else 0
 
-  /** Buckets committed as of the current snapshot. */
-  def completedBuckets: Set[Int] = {
-    val v = currentVersion
-    if (v == 0) Set.empty
-    else {
-      val txt = new String(
-        Files.readAllBytes(meta.resolve(s"manifest-v$v.json")), StandardCharsets.UTF_8)
-      // manifest format: {"snapshot":N,"parent":M,"buckets":[1,2,...]}
-      val m = "\"buckets\"\\s*:\\s*\\[([0-9,\\s]*)\\]".r
-      m.findFirstMatchIn(txt) match {
-        case Some(g) if g.group(1).trim.nonEmpty =>
-          g.group(1).split(",").map(_.trim.toInt).toSet
-        case _ => Set.empty
-      }
-    }
-  }
+  /** Buckets committed as of the current snapshot. Manifest format:
+    * {"snapshot":N,"parent":M,"buckets":[1,2,...]}
+    */
+  def completedBuckets: Set[Int] = bucketsAt(currentVersion)
 
   /** Write one bucket's rows and commit it to a new snapshot. The data
     * write is idempotent (overwrite of the bucket dir); the commit is
@@ -81,14 +69,48 @@ final class SnapshotTable(val root: String, val nBuckets: Int) {
   }
 
   /** Snapshot read: only committed buckets are visible. */
-  def read(spark: SparkSession): DataFrame = {
-    val done = completedBuckets
+  def read(spark: SparkSession): DataFrame = readAt(spark, currentVersion)
+
+  /** Time-travel read of an earlier snapshot (Iceberg
+    * `VERSION AS OF` semantics): only buckets committed as of
+    * `version` are visible, regardless of later commits.
+    */
+  def readAt(spark: SparkSession, version: Int): DataFrame = {
+    val done = bucketsAt(version)
     if (done.isEmpty) {
       spark.emptyDataFrame
     } else {
       val paths = done.toSeq.sorted.map(b => s"$root/data/bucket=$b")
       spark.read.parquet(paths: _*)
     }
+  }
+
+  def bucketsAt(version: Int): Set[Int] = {
+    if (version <= 0) return Set.empty
+    val f = meta.resolve(s"manifest-v$version.json")
+    if (!Files.exists(f)) return Set.empty
+    val txt = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+    val m = "\"buckets\"\\s*:\\s*\\[([0-9,\\s]*)\\]".r
+    m.findFirstMatchIn(txt) match {
+      case Some(g) if g.group(1).trim.nonEmpty =>
+        g.group(1).split(",").map(_.trim.toInt).toSet
+      case _ => Set.empty
+    }
+  }
+
+  /** Roll the current-version pointer back to an earlier snapshot
+    * (Iceberg rollback): later snapshots' data stays on disk but
+    * becomes invisible; the next commit builds on the rolled-back
+    * state.
+    */
+  def rollbackTo(version: Int): Unit = {
+    require(version >= 0 && (version == 0 ||
+      Files.exists(meta.resolve(s"manifest-v$version.json"))),
+      s"no snapshot v$version")
+    val tmp = meta.resolve(s"VERSION.tmp.rb$version")
+    Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, versionFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 }
 
