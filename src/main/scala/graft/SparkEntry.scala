@@ -322,6 +322,12 @@ object SparkEntry {
         .orderBy(col("qid"), col("nid"))
     }),
 
+    "ann4_ivf_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Ann.ivfTopK(e, e.where(col("vec_id") < 8), k = 3, nCells = 16, nProbe = 6)
+        .orderBy(col("qid"), col("nid"))
+    }),
+
     "ann3_embed_neardup" -> ((s, dir) => {
       Ann.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.35)
         .orderBy(col("id_a"), col("id_b"))

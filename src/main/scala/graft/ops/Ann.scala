@@ -114,6 +114,103 @@ object Ann {
       .select(col("qid"), col("nid"), col("sim"))
   }
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer trained with a
+    * FIXED number of Lloyd iterations from deterministic seeded
+    * centroids (splitmix-picked sample rows — no randomness at run
+    * time), corpus assigned to nearest centroid (map-side, broadcast
+    * centroids), queries probe the `nprobe` nearest cells, exact cosine
+    * re-rank inside the probed cells only.
+    *
+    * Scale shape: training = `iters` aggregations of (cell, sum-vec,
+    * count) — partial-agg'd; search shuffles only (cell, id) pairs.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              nCells: Int = 16, nProbe: Int = 4, iters: Int = 5,
+              seed: Long = 42L, roundTo: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val vecs = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+
+    // deterministic init: rows whose mix64(id ^ seed) is smallest
+    var centroids: Array[Array[Double]] = vecs
+      .map { case (id, v) => (mix64(id ^ seed), v) }
+      .toDF("h", "v").orderBy(col("h")).limit(nCells)
+      .select(col("v")).as[Array[Float]].collect()
+      .map(_.map(_.toDouble))
+
+    def nearestCell(cs: Array[Array[Double]])(v: Array[Float]): Int = {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var d = 0.0
+        var i = 0
+        while (i < v.length) {
+          val diff = v(i) - cs(c)(i); d += diff * diff; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    // Lloyd iterations as aggregations: per-(cell, dim) FIXED-POINT long
+    // sums (integer addition is order-independent → bit-deterministic
+    // under any partitioning) with map-side partial aggregation; only
+    // nCells × dim tiny rows reach the driver.
+    val Fixed = 1L << 24
+    (0 until iters).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(centroids)
+      val assignCell = udf((v: Seq[Float]) => nearestCell(bc.value)(v.toArray))
+      val sums = corpus
+        .select(assignCell(col(vecCol)).as("cell"), posexplode(col(vecCol)))
+        .select(col("cell"), col("pos"),
+          (col("col").cast("double") * Fixed).cast("long").as("fx"))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("fx")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        val cell = r.getInt(0); val pos = r.getInt(1)
+        next(cell)(pos) = r.getLong(2).toDouble / Fixed / r.getLong(3)
+      }
+      centroids = next
+    }
+
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assignUdf = udf((v: Seq[Float]) => nearestCell(bc.value)(v.toArray))
+    val probeUdf = udf((v: Seq[Float]) => {
+      val arr = v.toArray
+      val ds = bc.value.indices.map { c =>
+        var d = 0.0
+        var i = 0
+        while (i < arr.length) {
+          val diff = arr(i) - bc.value(c)(i); d += diff * diff; i += 1
+        }
+        (d, c)
+      }
+      ds.sorted.take(nProbe).map(_._2)
+    })
+
+    val cells = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+      .withColumn("cell", assignUdf(col("nvec")))
+    val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .withColumn("cell", explode(probeUdf(col("qvec"))))
+
+    val scored = probes.join(cells, Seq("cell"))
+      .where(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(cosineCol(col("qvec"), col("nvec")), roundTo).as("sim"))
+      .dropDuplicates("qid", "nid")
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("sim"))
+  }
+
   /** Embedding near-duplicate pairs: same SRP bucketing, self-join,
     * cosine ≥ threshold.
     */

@@ -22,7 +22,7 @@ class EntrySmokeSpec extends AnyFunSuite {
       "qf1_quality_filter",      // transcript pipeline (our semantics)
       "lid1_langid_docs",        // broadcast model, not SQL
       "dd2_minhash_pairs", "dd3_simhash_pairs", "dd4_consecutive_jaccard",
-      "ann2_lsh_topk", "ann3_embed_neardup",  // LSH recall ≠ SQL brute force
+      "ann2_lsh_topk", "ann3_embed_neardup", "ann4_ivf_topk", // ANN recall ≠ SQL brute force
       "ts2_fingerprint",         // custom rolling hash
       "mm1_multimodal_features") // stub decoder
     assert(rowsOnly == expectedRowsOnly,

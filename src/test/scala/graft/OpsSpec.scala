@@ -93,6 +93,28 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"LSH recall $recall too low")
   }
 
+  test("IVF ANN recall vs brute force on clustered vectors") {
+    import spark.implicits._
+    val rng = new TranscriptRng(17)
+    val centers = Array.fill(6, 16)(rng.nextGaussian() * 5)
+    val vecs = (0L until 120L).map { i =>
+      val c = centers((i % 6).toInt)
+      (i, c.map(x => (x + rng.nextGaussian() * 0.3).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val brute = Ann.bruteForceTopK(vecs, vecs.where(col("vec_id") < 6), k = 3, roundTo = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopK(vecs, vecs.where(col("vec_id") < 6), k = 3,
+      nCells = 8, nProbe = 3, roundTo = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"IVF recall $recall too low")
+    // determinism
+    val ivf2 = Ann.ivfTopK(vecs.repartition(5), vecs.where(col("vec_id") < 6), k = 3,
+      nCells = 8, nProbe = 3, roundTo = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == ivf2)
+  }
+
   /** Deterministic gaussian-ish RNG for test vectors. */
   private final class TranscriptRng(seed: Long) {
     private var s = seed
