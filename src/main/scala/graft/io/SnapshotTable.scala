@@ -98,6 +98,28 @@ final class SnapshotTable(val root: String, val nBuckets: Int) {
     }
   }
 
+  /** Snapshot history: existing manifest versions, ascending. */
+  def snapshotHistory: Seq[Int] = {
+    val files = Files.list(meta).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    files.collect { case s if s.startsWith("manifest-v") && s.endsWith(".json") =>
+      s.stripPrefix("manifest-v").stripSuffix(".json").toInt
+    }.sorted
+  }
+
+  /** Iceberg expire-snapshots: drop manifests older than `keepLast`
+    * snapshots (data files are shared across snapshots here — bucket
+    * dirs are only ever overwritten in place — so no data deletion).
+    * The current snapshot is always kept.
+    */
+  def expireSnapshots(keepLast: Int): Seq[Int] = {
+    val hist = snapshotHistory
+    val cur = currentVersion
+    val drop = hist.filter(v => v != cur).dropRight(math.max(keepLast - 1, 0))
+    drop.foreach(v => Files.deleteIfExists(meta.resolve(s"manifest-v$v.json")))
+    drop
+  }
+
   /** Roll the current-version pointer back to an earlier snapshot
     * (Iceberg rollback): later snapshots' data stays on disk but
     * becomes invisible; the next commit builds on the rolled-back

@@ -58,6 +58,19 @@ final class NGramLM private (
     probe(gramKeys, gramLogNum, gramMask, gram, logNumUnseen) -
       probe(ctxKeys, ctxLogDen, ctxMask, ctx, logDenUnseen)
 
+  // accessors for the fused multi-model table (TurnScorer): exact log
+  // value for a key (per-model default when absent) + stored key sets
+  private[lm] def gramLog(key: Long): Double =
+    probe(gramKeys, gramLogNum, gramMask, key, logNumUnseen)
+  private[lm] def ctxLog(key: Long): Double =
+    probe(ctxKeys, ctxLogDen, ctxMask, key, logDenUnseen)
+  private[lm] def gramKeySet: Iterator[Long] =
+    gramKeys.iterator.filter(_ != 0L).map(_ - 1)
+  private[lm] def ctxKeySet: Iterator[Long] =
+    ctxKeys.iterator.filter(_ != 0L).map(_ - 1)
+  private[lm] def unseenNum: Double = logNumUnseen
+  private[lm] def unseenDen: Double = logDenUnseen
+
   /** Sum of log P(c | prev2) over the normalized text; 0 chars → 0.0. */
   def logProb(text: String): (Double, Int) = {
     if (text == null || text.isEmpty) return (0.0, 0)

@@ -1,26 +1,35 @@
 package graft.lm
 
+import graft.functions.TextAlgos.mix64
 import graft.lang.LangIdModel
 
-/** Fused per-turn model scoring: ONE pass over the normalized text
-  * computes the (gram, ctx) keys once per char and probes every
-  * language model plus the perplexity model — instead of five separate
-  * string walks. Per-model accumulation order is identical to
-  * NGramLM.logProb, so lang/conf/ppl are bit-equal to the unfused path
-  * (asserted in LangLmSpec).
+/** Fused per-turn model scoring over a UNION hash table: the language
+  * models and the perplexity model are merged into one open-addressing
+  * table whose slots carry a value PER MODEL (the model's exact log
+  * value for that key, or its own unseen-default baked in at build
+  * time). The hot loop is then TWO probes per char (gram + context)
+  * instead of two per model — ~5× fewer random accesses than probing
+  * each model separately.
+  *
+  * Bit-exactness: slot values are copied unchanged from each NGramLM,
+  * per-model accumulation stays in char order, and the classification
+  * math is byte-for-byte the LangIdModel softmax — so (lang, conf, ppl)
+  * equal the unfused per-model path exactly (asserted in LangLmSpec).
   */
-final class TurnScorer(
+final class TurnScorer private (
     val langs: Array[String],
-    langModels: Array[NGramLM],
-    pplModel: NGramLM
+    nModels: Int, // langs + 1 (ppl model last)
+    gramKeys: Array[Long], gramVals: Array[Double], gramMask: Int,
+    ctxKeys: Array[Long], ctxVals: Array[Double], ctxMask: Int,
+    gramDefaults: Array[Double], ctxDefaults: Array[Double]
 ) extends Serializable {
 
   /** Returns (lang, confidence, perplexity); empty/null → ("und", 0, 1). */
   def score(norm: String): (String, Double, Double) = {
     if (norm == null || norm.isEmpty) return ("und", 0.0, 1.0)
-    val k = langModels.length
-    val lps = new Array[Double](k)
-    var pplLp = 0.0
+    val m = nModels
+    val lps = new Array[Double](m)
+    val gbuf = new Array[Double](m) // per-char gram part; lp += gram - ctx
     var c1 = NGramLM.Boundary
     var c2 = NGramLM.Boundary
     var i = 0
@@ -28,30 +37,82 @@ final class TurnScorer(
       val c = NGramLM.norm(norm.charAt(i))
       val ctx = (c1.toLong << 16) | c2.toLong
       val gram = (ctx << 16) | c.toLong
-      var m = 0
-      while (m < k) { lps(m) += langModels(m).lpFor(gram, ctx); m += 1 }
-      pplLp += pplModel.lpFor(gram, ctx)
+
+      var slot = (mix64(gram) & gramMask).toInt
+      var found = false
+      var base = -1
+      while (!found) {
+        val stored = gramKeys(slot)
+        if (stored == gram + 1) { base = slot * m; found = true }
+        else if (stored == 0L) { found = true }
+        else slot = (slot + 1) & gramMask
+      }
+      var j = 0
+      if (base >= 0) while (j < m) { gbuf(j) = gramVals(base + j); j += 1 }
+      else while (j < m) { gbuf(j) = gramDefaults(j); j += 1 }
+
+      slot = (mix64(ctx) & ctxMask).toInt
+      found = false
+      base = -1
+      while (!found) {
+        val stored = ctxKeys(slot)
+        if (stored == ctx + 1) { base = slot * m; found = true }
+        else if (stored == 0L) { found = true }
+        else slot = (slot + 1) & ctxMask
+      }
+      // lp += (gram - ctx): same per-char rounding as NGramLM.lpFor
+      j = 0
+      if (base >= 0) while (j < m) { lps(j) += gbuf(j) - ctxVals(base + j); j += 1 }
+      else while (j < m) { lps(j) += gbuf(j) - ctxDefaults(j); j += 1 }
+
       c1 = c2
       c2 = c
       i += 1
     }
     val n = norm.length
-    // identical classification math to LangIdModel.classify
+    val k = langs.length
     var best = 0
-    var m = 1
-    while (m < k) { if (lps(m) / n > lps(best) / n) best = m; m += 1 }
+    var t = 1
+    while (t < k) { if (lps(t) / n > lps(best) / n) best = t; t += 1 }
     val evidence = math.min(n, 64).toDouble
     var denom = 0.0
-    m = 0
-    while (m < k) {
-      denom += StrictMath.exp((lps(m) / n - lps(best) / n) * evidence)
-      m += 1
+    t = 0
+    while (t < k) {
+      denom += StrictMath.exp((lps(t) / n - lps(best) / n) * evidence)
+      t += 1
     }
-    (langs(best), 1.0 / denom, StrictMath.exp(-pplLp / n))
+    (langs(best), 1.0 / denom, StrictMath.exp(-lps(k) / n))
   }
 }
 
 object TurnScorer {
-  def apply(langId: LangIdModel, ppl: NGramLM): TurnScorer =
-    new TurnScorer(langId.langs, langId.models, ppl)
+
+  def apply(langId: LangIdModel, ppl: NGramLM): TurnScorer = {
+    val models: Array[NGramLM] = langId.models :+ ppl
+    val m = models.length
+
+    def build(keysOf: NGramLM => Iterator[Long],
+              valOf: (NGramLM, Long) => Double): (Array[Long], Array[Double], Int) = {
+      val union = models.iterator.flatMap(keysOf).toArray.distinct
+      java.util.Arrays.sort(union) // deterministic layout
+      var cap = 16
+      while (cap < union.length * 3) cap <<= 1
+      val keys = new Array[Long](cap)
+      val vals = new Array[Double](cap * m)
+      val mask = cap - 1
+      union.foreach { key =>
+        var i = (mix64(key) & mask).toInt
+        while (keys(i) != 0L) i = (i + 1) & mask
+        keys(i) = key + 1
+        var j = 0
+        while (j < m) { vals(i * m + j) = valOf(models(j), key); j += 1 }
+      }
+      (keys, vals, mask)
+    }
+
+    val (gk, gv, gm) = build(_.gramKeySet, (mod, k) => mod.gramLog(k))
+    val (ck, cv, cm) = build(_.ctxKeySet, (mod, k) => mod.ctxLog(k))
+    new TurnScorer(langId.langs, m, gk, gv, gm, ck, cv, cm,
+      models.map(_.unseenNum), models.map(_.unseenDen))
+  }
 }

@@ -38,6 +38,23 @@ class LangLmSpec extends AnyFunSuite {
     assert(gibberish > 25.0, s"gibberish ppl $gibberish")
   }
 
+  test("fused TurnScorer == unfused per-model scoring, bit-exact") {
+    val scorer = graft.lm.TurnScorer(LangId.default, LangId.pplModel)
+    val texts = SeedCorpus.en ++ SeedCorpus.fr ++ SeedCorpus.de ++
+      SeedCorpus.es ++ SeedCorpus.code ++ Seq(
+        "xqzwjv kfpqx mzzkrw", "a", "42", "mixed english y espanol juntos")
+    texts.foreach { t =>
+      val (l1, c1) = LangId.default.classify(t)
+      val p1 = LangId.pplModel.perplexity(t)
+      val (l2, c2, p2) = scorer.score(t)
+      assert(l1 == l2, t)
+      assert(c1 == c2, s"conf drift on '$t': $c1 vs $c2")
+      assert(p1 == p2, s"ppl drift on '$t': $p1 vs $p2")
+    }
+    assert(scorer.score("") == (("und", 0.0, 1.0)))
+    assert(scorer.score(null) == (("und", 0.0, 1.0)))
+  }
+
   test("model scoring is deterministic and serialization-stable") {
     val m = LangId.default
     val texts = SeedCorpus.en.take(5) ++ SeedCorpus.fr.take(5)
