@@ -100,22 +100,25 @@ final class SnapshotTable(val root: String, val nBuckets: Int) {
 
   /** Snapshot history: existing manifest versions, ascending. */
   def snapshotHistory: Seq[Int] = {
-    val files = Files.list(meta).iterator().asScala
-      .map(_.getFileName.toString).toSeq
+    val stream = Files.list(meta)
+    val files =
+      try stream.iterator().asScala.map(_.getFileName.toString).toSeq
+      finally stream.close()
     files.collect { case s if s.startsWith("manifest-v") && s.endsWith(".json") =>
       s.stripPrefix("manifest-v").stripSuffix(".json").toInt
     }.sorted
   }
 
-  /** Iceberg expire-snapshots: drop manifests older than `keepLast`
-    * snapshots (data files are shared across snapshots here — bucket
-    * dirs are only ever overwritten in place — so no data deletion).
-    * The current snapshot is always kept.
+  /** Iceberg expire-snapshots: keep the newest `keepLast` manifests
+    * plus (always) the current one — the current snapshot may be older
+    * than the newest after a rollback. Data files are shared across
+    * snapshots here (bucket dirs are only overwritten in place), so no
+    * data deletion.
     */
   def expireSnapshots(keepLast: Int): Seq[Int] = {
     val hist = snapshotHistory
     val cur = currentVersion
-    val drop = hist.filter(v => v != cur).dropRight(math.max(keepLast - 1, 0))
+    val drop = hist.dropRight(math.max(keepLast, 0)).filter(_ != cur)
     drop.foreach(v => Files.deleteIfExists(meta.resolve(s"manifest-v$v.json")))
     drop
   }

@@ -49,15 +49,6 @@ final class NGramLM private (
     default // unreachable
   }
 
-  /** log P contribution for one precomputed (gram, ctx) key pair —
-    * used by [[TurnScorer]] to probe several models per char with the
-    * keys computed once. Accumulation order identical to [[logProb]],
-    * so results are bit-equal.
-    */
-  def lpFor(gram: Long, ctx: Long): Double =
-    probe(gramKeys, gramLogNum, gramMask, gram, logNumUnseen) -
-      probe(ctxKeys, ctxLogDen, ctxMask, ctx, logDenUnseen)
-
   // accessors for the fused multi-model table (TurnScorer): exact log
   // value for a key (per-model default when absent) + stored key sets
   private[lm] def gramLog(key: Long): Double =

@@ -34,9 +34,8 @@ object OracleFilter {
   private def labelConv(conv: Seq[Turn]): Seq[LabeledTurn] = {
     val norms = conv.map(t => Scrub.normalizeWsPlain(t.text))
 
-    // model scores (same fused scorer as the pipeline)
-    val scorer = graft.lm.TurnScorer(LangId.default, LangId.pplModel)
-    val scores = norms.map(scorer.score)
+    // model scores (same fused scorer singleton as the pipeline)
+    val scores = norms.map(graft.lm.TurnScorer.default.score)
 
     // conversation language vote (count desc, lang asc)
     val votes = mutable.Map.empty[String, Int]

@@ -43,8 +43,7 @@ object QualityFilter {
   def score(ds: Dataset[Turn]): Dataset[ScoredTurn] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    val scorerBc = spark.sparkContext.broadcast(
-      graft.lm.TurnScorer(LangId.default, LangId.pplModel))
+    val scorerBc = spark.sparkContext.broadcast(graft.lm.TurnScorer.default)
     ds.mapPartitions { it =>
       val scorer = scorerBc.value
       it.map { t =>

@@ -57,4 +57,18 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(t.read(spark).count() == 5) // data untouched
     assert(t.readAt(spark, 1).isEmpty)  // expired manifest unreadable
   }
+
+  test("expiry after rollback never drops the current or newest-k snapshots") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_exp2").toString
+    val t = graft.io.SnapshotTable(root, 8)
+    (0 until 5).foreach(b => t.commitBucket(Seq((b, "x")).toDF("k", "v"), b))
+    t.rollbackTo(3)
+    val dropped = t.expireSnapshots(keepLast = 2)
+    assert(dropped == Seq(1, 2), s"dropped $dropped")
+    assert(t.snapshotHistory == Seq(3, 4, 5)) // current 3 kept + newest 2
+    assert(t.currentVersion == 3)
+    assert(t.read(spark).count() == 3)
+  }
 }
