@@ -20,9 +20,10 @@ import graft.scrub.Scrub
   *     symbol density, repetition ratio) — computed once per row while
   *     the String is already materialized.
   *  2. ONE repartition by conv_id; all conversation windows ride that
-  *     partitioning (no further exchanges). Window order is chosen so
-  *     sorts are shared: (conv,lang) → (conv) reuses the same sort
-  *     prefix; 3 intra-partition sorts total, over SLIM rows (no
+  *     partitioning (no further exchanges). The language vote is
+  *     conditional sums over the plain (conv_id) window, which shares
+  *     the other windows' sorts: 2 intra-partition sorts total
+  *     ((conv,norm_hash,turn) then (conv,turn)), over SLIM rows (no
   *     normalized text — see ScoredTurn).
   *  3. Final projection: rule flags → drop_reasons lineage array,
   *     normalized text recomputed by codegen'd regexes, PII scrub
@@ -117,7 +118,7 @@ object QualityFilter {
     */
   def label(ds: Dataset[Turn], skewMaxTurns: Int): DataFrame =
     if (skewMaxTurns <= 0) label(ds)
-    else SkewSplit.label(score(ds), skewMaxTurns)
+    else SkewSplit.label(ds, skewMaxTurns)
 
   /** End-to-end convenience: read parquet transcripts → labeled output. */
   def run(spark: SparkSession, inputPath: String): DataFrame = {

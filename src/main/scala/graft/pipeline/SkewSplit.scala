@@ -38,18 +38,22 @@ import graft.scrub.Scrub
   */
 object SkewSplit {
 
-  def label(scored: Dataset[ScoredTurn], maxTurns: Int): DataFrame = {
-    val spark = scored.sparkSession
+  def label(ds: Dataset[graft.schema.Turn], maxTurns: Int): DataFrame = {
+    val spark = ds.sparkSession
     import spark.implicits._
 
-    val sizes = scored.groupBy($"conv_id").agg(count(lit(1)).as("n_turns"))
+    // size census on the RAW input: column pruning reduces the scan to
+    // conv_id only; the split happens BEFORE model scoring so each row
+    // is scored exactly once (scoring after the split would be shared
+    // by census + both branches and recomputed per consumer)
+    val sizes = ds.groupBy($"conv_id").agg(count(lit(1)).as("n_turns"))
     val giants = sizes.where($"n_turns" > maxTurns).select($"conv_id")
 
-    val normal = scored.join(broadcast(giants), Seq("conv_id"), "left_anti")
-    val giant = scored.join(broadcast(giants), Seq("conv_id"), "left_semi")
+    val normal = ds.join(broadcast(giants), Seq("conv_id"), "left_anti")
+    val giant = ds.join(broadcast(giants), Seq("conv_id"), "left_semi")
 
-    QualityFilter.labelScored(normal.as[ScoredTurn])
-      .unionByName(labelGiant(giant.as[ScoredTurn], maxTurns))
+    QualityFilter.labelScored(QualityFilter.score(normal.as[graft.schema.Turn]))
+      .unionByName(labelGiant(QualityFilter.score(giant.as[graft.schema.Turn]), maxTurns))
   }
 
   private def eligible = !col("is_empty") &&
