@@ -554,6 +554,14 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    "dp1_doc_pipeline" -> ((s, dir) => {
+      graft.ops.DocPipeline.label(t(s, dir, "documents"))
+        .select(col("doc_id"), col("keep"),
+          concat_ws("|", col("drop_reasons")).as("reasons"),
+          col("lang"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -------------------------------------------------- flagship pipeline
     "qf1_quality_filter" -> ((s, _) => {
       QualityFilter.label(TranscriptGen.generate(s, 500, seed = 42L, skewCap = 2000))

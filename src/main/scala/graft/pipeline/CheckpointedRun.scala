@@ -38,14 +38,20 @@ object CheckpointedRun {
     val todo = (0 until nBuckets).filterNot(done)
     val bucket = Metrics.bucketCol(nBuckets)
 
+    // metrics are snapshot tables of their own (the "Iceberg metrics
+    // table"): committed per bucket with the same atomic-manifest
+    // semantics as the data, so lineage is never ahead of or behind
+    // the output snapshot by more than the in-flight bucket
+    val metricTables = metricsRoot.map(mr =>
+      (SnapshotTable(s"$mr/bucket_stats", nBuckets),
+        SnapshotTable(s"$mr/rule_lineage", nBuckets)))
+
     todo.foreach { b =>
       val labeled = QualityFilter.label(input.where(bucket === b), skewMaxTurns)
       table.commitBucket(labeled, b)
-      metricsRoot.foreach { mr =>
-        Metrics.bucketStats(labeled, nBuckets)
-          .write.mode("overwrite").parquet(s"$mr/bucket_stats/bucket=$b")
-        Metrics.ruleLineage(labeled, nBuckets)
-          .write.mode("overwrite").parquet(s"$mr/rule_lineage/bucket=$b")
+      metricTables.foreach { case (statsT, lineageT) =>
+        statsT.commitBucket(Metrics.bucketStats(labeled, nBuckets), b)
+        lineageT.commitBucket(Metrics.ruleLineage(labeled, nBuckets), b)
       }
     }
     RunResult(table.currentVersion, todo, done.toSeq.sorted)

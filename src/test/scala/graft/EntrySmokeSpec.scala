@@ -24,7 +24,8 @@ class EntrySmokeSpec extends AnyFunSuite {
       "dd2_minhash_pairs", "dd3_simhash_pairs", "dd4_consecutive_jaccard",
       "ann2_lsh_topk", "ann3_embed_neardup", "ann4_ivf_topk", // ANN recall ≠ SQL brute force
       "ts2_fingerprint",         // custom rolling hash
-      "mm1_multimodal_features") // stub decoder
+      "mm1_multimodal_features", // stub decoder
+      "dp1_doc_pipeline")        // composite: model + LSH, not SQL
     assert(rowsOnly == expectedRowsOnly,
       s"unexpected rows-only queries: ${rowsOnly -- expectedRowsOnly}; " +
         s"missing: ${expectedRowsOnly -- rowsOnly}")
