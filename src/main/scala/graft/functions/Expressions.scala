@@ -40,6 +40,40 @@ object GraftExpressions {
       if (a == null) null else a.toString,
       if (b == null) null else b.toString, k)
 
+  def minHashSig(s: UTF8String, numHashes: Int, k: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      TextAlgos.minHashSignature(
+        TextAlgos.shingles(if (s == null) null else s.toString, k), numHashes))
+
+  /** Signed-random-projection signature (one long per table) over a
+    * float-array embedding. Hyperplane components are splitmix64-derived
+    * from (seed, table, bit, dim) — deterministic — and cached per
+    * executor (computing them per ROW was O(tables·bits·dim) mix64 calls
+    * per embedding).
+    */
+  def srpSig(vec: org.apache.spark.sql.catalyst.util.ArrayData,
+             seed: Long, tables: Int, bits: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val v = vec.toFloatArray()
+    val planes = SrpPlanes.get(seed, tables, bits, v.length)
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var b = 0
+      while (b < bits) {
+        var dot = 0.0
+        val base = (t * bits + b) * v.length
+        var d = 0
+        while (d < v.length) { dot += v(d).toDouble * planes(base + d); d += 1 }
+        if (dot > 0) sig |= (1L << b)
+        b += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Whitespace-normalize + full PII scrub chain + per-rule counts in
     * ONE pass over the string — literally the oracle's code path
     * (graft.scrub.Scrub), so pipeline/oracle text equality holds by
@@ -85,6 +119,41 @@ object GraftExpressions {
 
   def scrub_all(c: Column): Column =
     ExpressionUtils.column(ScrubAllExpr(ExpressionUtils.expression(c)))
+
+  def min_hash_sig(c: Column, numHashes: Int, k: Int): Column =
+    ExpressionUtils.column(MinHashSigExpr(ExpressionUtils.expression(c), numHashes, k))
+
+  def srp_sig(c: Column, seed: Long, tables: Int, bits: Int): Column =
+    ExpressionUtils.column(SrpSigExpr(ExpressionUtils.expression(c), seed, tables, bits))
+}
+
+/** Per-executor cache of SRP hyperplanes, flattened [table][bit][dim].
+  * Component formula must stay identical to round-1's per-row udf:
+  * uniform in [-1,1) from mix64(seed ^ t<<40 ^ b<<20 ^ d).
+  */
+private object SrpPlanes {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int, Int), Array[Double]]()
+  def get(seed: Long, tables: Int, bits: Int, dim: Int): Array[Double] =
+    cache.computeIfAbsent((seed, tables, bits, dim), { _ =>
+      val out = new Array[Double](tables * bits * dim)
+      var i = 0
+      var t = 0
+      while (t < tables) {
+        var b = 0
+        while (b < bits) {
+          var d = 0
+          while (d < dim) {
+            val h = TextAlgos.mix64(seed ^ (t.toLong << 40) ^ (b.toLong << 20) ^ d.toLong)
+            out(i) = (h >>> 11).toDouble / (1L << 52).toDouble - 1.0
+            i += 1; d += 1
+          }
+          b += 1
+        }
+        t += 1
+      }
+      out
+    })
 }
 
 /** Fused normalize + PII scrub + counts (see GraftExpressions.scrubAll). */
@@ -181,6 +250,40 @@ case class FingerprintExpr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.GraftExpressions.fingerprint($c)")
   override protected def withNewChildInternal(newChild: Expression): FingerprintExpr =
+    copy(child = newChild)
+}
+
+/** MinHash signature (array<bigint>, length numHashes) of word-shingled
+  * text — the LSH signature stage of near-dup detection, kept inside
+  * whole-stage codegen (the round-1 udf boxed a Seq[Long] per row).
+  */
+case class MinHashSigExpr(child: Expression, numHashes: Int, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    GraftExpressions.minHashSig(input.asInstanceOf[UTF8String], numHashes, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftExpressions.minHashSig($c, $numHashes, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+/** SRP-LSH signature (array<bigint>, one long per table) of a
+  * float-array embedding.
+  */
+case class SrpSigExpr(child: Expression, seed: Long, tables: Int, bits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    GraftExpressions.srpSig(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], seed, tables, bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftExpressions.srpSig($c, ${seed}L, $tables, $bits)")
+  override protected def withNewChildInternal(newChild: Expression): SrpSigExpr =
     copy(child = newChild)
 }
 

@@ -52,15 +52,27 @@ final class SnapshotTable(val root: String, val nBuckets: Int) {
     commitBuckets(Set(bucket))
   }
 
-  /** Record buckets (already written) in a new snapshot. */
+  /** Record buckets (already written) in a new snapshot.
+    *
+    * Single-writer protocol (like Iceberg's optimistic commit): the
+    * manifest is created with CREATE_NEW, so if two writers race to
+    * produce manifest-v(N+1) the loser fails loudly
+    * (FileAlreadyExistsException) instead of silently dropping the
+    * winner's committed buckets via a last-rename-wins VERSION swap.
+    */
   def commitBuckets(buckets: Set[Int]): Int = {
     val v = currentVersion
-    val newV = v + 1
+    // allocate PAST the newest existing manifest: after a rollback the
+    // divergent future manifests stay readable (time travel) until
+    // expiry; the new commit's parent is the rolled-back snapshot
+    val newV = math.max(v, snapshotHistory.lastOption.getOrElse(0)) + 1
     val all = (completedBuckets ++ buckets).toSeq.sorted
     val json =
       s"""{"snapshot":$newV,"parent":$v,"buckets":[${all.mkString(",")}]}"""
     Files.write(meta.resolve(s"manifest-v$newV.json"),
-      json.getBytes(StandardCharsets.UTF_8))
+      json.getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE)
     val tmp = meta.resolve(s"VERSION.tmp$newV")
     Files.write(tmp, newV.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, versionFile, StandardCopyOption.ATOMIC_MOVE,

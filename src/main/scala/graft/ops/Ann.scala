@@ -51,63 +51,43 @@ object Ann {
       .select(col("qid"), col("nid"), col("sim"))
   }
 
-  /** Deterministic hyperplane for (seed, table, bit, dim). */
-  private def hyperplaneComponent(seed: Long, table: Int, bit: Int, d: Int): Double = {
-    // uniform in [-1, 1) from splitmix64 — adequate for SRP-LSH
-    val h = mix64(seed ^ (table.toLong << 40) ^ (bit.toLong << 20) ^ d.toLong)
-    (h >>> 11).toDouble / (1L << 52).toDouble - 1.0
-  }
-
-  /** Signed-random-projection signature (one long per table). */
-  private def srpSigUdf(seed: Long, tables: Int, bits: Int) =
-    udf((vec: Seq[Float]) => {
-      if (vec == null) null
-      else {
-        val out = new Array[Long](tables)
-        var t = 0
-        while (t < tables) {
-          var sig = 0L
-          var b = 0
-          while (b < bits) {
-            var dot = 0.0
-            var d = 0
-            while (d < vec.length) {
-              dot += vec(d).toDouble * hyperplaneComponent(seed, t, b, d)
-              d += 1
-            }
-            if (dot > 0) sig |= (1L << b)
-            b += 1
-          }
-          out(t) = sig
-          t += 1
-        }
-        out
-      }
-    })
-
   /** LSH-bucketed ANN: queries and corpus are hashed into `tables`
     * signature buckets; candidates = bucket collisions in ANY table;
-    * exact cosine re-rank of candidates only. Shuffles (bucket, id)
-    * pairs instead of scanning the whole corpus per query.
+    * exact cosine re-rank of candidates only.
+    *
+    * Shuffle shape: ONLY (tbl, bucket, id) rides the bucket join —
+    * round 1 carried the full embedding through posexplode, amplifying
+    * the fattest column ×tables through the exchange. Vectors are
+    * joined back after candidate-pair dedup (query side broadcast —
+    * the query batch is small by construction).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
               tables: Int = 8, bits: Int = 12, seed: Long = 42L,
               roundTo: Int = 4): DataFrame = {
-    val sig = srpSigUdf(seed, tables, bits)
-    def bucketed(df: DataFrame, id: String, vec: String) = df
-      .select(col(idCol).as(id), col(vecCol).as(vec),
-        posexplode(sig(col(vecCol))))
-      .select(col(id), col(vec), col("pos").as("tbl"), col("col").as("bucket"))
+    import graft.functions.GraftExpressions.srp_sig
+    // posexplode input deliberately NOT a bare attribute: Spark's
+    // InferFiltersFromGenerate infers size(attr)>0/isnotnull(attr) which
+    // predicate-pushdown then inlines through the sig-defining Project —
+    // re-evaluating the signature expression 3x per row in the scan
+    // filter. slice(sig, 1, tables) is the identity on a length-`tables`
+    // array and blocks the inference (non-attribute generator input).
+    def keys(df: DataFrame, outId: String) = df
+      .where(col(vecCol).isNotNull)
+      .select(col(idCol).as(outId), srp_sig(col(vecCol), seed, tables, bits).as("sig"))
+      .select(col(outId), posexplode(slice(col("sig"), 1, tables)))
+      .select(col(outId), col("pos").as("tbl"), col("col").as("bucket"))
 
-    val c = bucketed(corpus, "nid", "nvec")
-    val q = bucketed(queries, "qid", "qvec")
-    val cand = q.join(c, Seq("tbl", "bucket"))
+    val cand = keys(queries, "qid").join(keys(corpus, "nid"), Seq("tbl", "bucket"))
       .where(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"), col("qvec"), col("nvec"))
+      .select(col("qid"), col("nid"))
       .dropDuplicates("qid", "nid")
-    val scored = cand.select(col("qid"), col("nid"),
-      round(cosineCol(col("qvec"), col("nvec")), roundTo).as("sim"))
+
+    val scored = cand
+      .join(broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))), Seq("qid"))
+      .join(corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec")), Seq("nid"))
+      .select(col("qid"), col("nid"),
+        round(cosineCol(col("qvec"), col("nvec")), roundTo).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
     scored.withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)
@@ -211,22 +191,30 @@ object Ann {
       .select(col("qid"), col("nid"), col("sim"))
   }
 
-  /** Embedding near-duplicate pairs: same SRP bucketing, self-join,
-    * cosine ≥ threshold.
+  /** Embedding near-duplicate pairs: SRP bucketing with the same
+    * groupBy(bucket) → capped in-bucket pair expansion as
+    * [[Dedup.minHashPairs]] (signature computed once per row, only
+    * (tbl, bucket, id) shuffled, hot buckets truncated with observed
+    * metrics); embeddings joined back after pair dedup for the exact
+    * cosine verify.
     */
   def cosineNearDupPairs(df: DataFrame, threshold: Double,
                          idCol: String = "vec_id", vecCol: String = "embedding",
-                         tables: Int = 8, bits: Int = 12, seed: Long = 42L): DataFrame = {
-    val sig = srpSigUdf(seed, tables, bits)
-    val b = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-        posexplode(sig(col(vecCol))))
-      .select(col("id"), col("vec"), col("pos").as("tbl"), col("col").as("bucket"))
-    b.as("l").join(b.as("r"),
-        col("l.tbl") === col("r.tbl") && col("l.bucket") === col("r.bucket") &&
-        col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.vec").as("va"), col("r.vec").as("vb"))
-      .dropDuplicates("id_a", "id_b")
+                         tables: Int = 8, bits: Int = 12, seed: Long = 42L,
+                         maxBucket: Int = 256): DataFrame = {
+    import graft.functions.GraftExpressions.srp_sig
+    // slice = identity guard against InferFiltersFromGenerate (see lshTopK)
+    val keys = df
+      .where(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), srp_sig(col(vecCol), seed, tables, bits).as("sig"))
+      .select(col("id"), posexplode(slice(col("sig"), 1, tables)))
+      .select(col("id"), col("pos").as("tbl"), col("col").as("bucket"))
+    val cand = Dedup.lshBucketPairs(keys, Seq("tbl", "bucket"), col("id"),
+        maxBucket, "ann3")
+      .distinct()
+    cand
+      .join(df.select(col(idCol).as("id_a"), col(vecCol).as("va")), Seq("id_a"))
+      .join(df.select(col(idCol).as("id_b"), col(vecCol).as("vb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(cosineCol(col("va"), col("vb")), 6).as("cosine"))
       .where(col("cosine") >= threshold)

@@ -1,18 +1,23 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftExpressions.{ngram_jaccard, sim_hash}
-import graft.functions.TextAlgos
+import graft.functions.GraftExpressions.{min_hash_sig, ngram_jaccard, sim_hash}
 
 /** Large-scale deduplication operators for training-data pipelines.
   *
   * Scale design: every variant shuffles only (id, key/signature)
-  * columns, never the full text twice; candidate generation is a
-  * band-bucket self-join (the classic MinHash-LSH layout) so the
-  * all-pairs O(n²) never materializes. Exact dedup = hash-groupBy (one
+  * columns, never text; candidate generation is groupBy(band, bucket) →
+  * collect ids → in-bucket pair expansion (the classic MinHash-LSH
+  * layout), so the all-pairs O(n²) never materializes AND the signature
+  * stage runs exactly once per document (the round-1 band-bucket
+  * self-join evaluated the signature expression on both sides).
+  * Degenerate hot buckets (boilerplate/near-empty docs sharing a band
+  * signature) are capped: ids above `maxBucket` are truncated — the
+  * kept sample still links the near-identical cluster transitively —
+  * and the truncation is surfaced as observed metrics
+  * (`capped_buckets`, `dropped_ids`). Exact dedup = hash-groupBy (one
   * shuffle of 16-byte rows).
   */
 object Dedup {
@@ -35,46 +40,73 @@ object Dedup {
       count(lit(1)).as("n_rows"),
       countDistinct(col(textCol)).as("n_unique"))
 
-  private val minHashUdf =
-    udf((text: String, numHashes: Int, k: Int) =>
-      TextAlgos.minHashSignature(TextAlgos.shingles(text, k), numHashes))
+  /** All ordered pairs (element i, element j>i) of a sorted array column
+    * as array<struct<id_a, id_b>> — pure higher-order functions, no udf.
+    */
+  private def pairCombos(ids: Column): Column =
+    flatten(transform(ids, (a, i) =>
+      transform(slice(ids, i + lit(2), size(ids) - i - 1),
+        b => struct(a.as("id_a"), b.as("id_b")))))
+
+  /** groupBy(band-key) → sorted id list → cap → pair expansion. Shared
+    * candidate-generation tail for every LSH variant. `ids` may be a
+    * struct column (sorted by its first field).
+    */
+  private[ops] def lshBucketPairs(banded: DataFrame, keyCols: Seq[String],
+                                  idCol: Column, maxBucket: Int, metricPrefix: String): DataFrame = {
+    val buckets = banded
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(idCol)).as("ids"))
+      .where(size(col("ids")) >= 2)
+      .observe(s"${metricPrefix}_buckets",
+        sum(when(size(col("ids")) > maxBucket, 1).otherwise(0)).as("capped_buckets"),
+        sum(when(size(col("ids")) > maxBucket, size(col("ids")) - maxBucket)
+          .otherwise(0)).as("dropped_ids"))
+    buckets
+      .select(explode(pairCombos(
+        when(size(col("ids")) > maxBucket, slice(col("ids"), 1, maxBucket))
+          .otherwise(col("ids")))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+  }
 
   /** MinHash + LSH near-duplicate PAIRS.
     *
     * shingle(k words) → minhash(numHashes) → split signature into
-    * `bands` bands → band-bucket self-join → verify candidates with
+    * `bands` bands → (band, bucket) grouping → in-bucket pairs (capped
+    * at `maxBucket` ids per bucket) → verify candidates with
     * word-shingle Jaccard ≥ `threshold`.
     *
-    * Returns (id_a, id_b, jaccard) with id_a < id_b, deduped. The
-    * band-bucket join shuffles only (bucket-hash, id); text is joined
-    * back just for the verify step.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, deduped. Only
+    * (band, bucket-hash, id) flows through the LSH shuffle; text is
+    * joined back just for the verify step, after pair dedup.
     */
   def minHashPairs(df: DataFrame, textCol: String, idCol: String,
                    numHashes: Int = 64, bands: Int = 16,
-                   shingleK: Int = 3, threshold: Double = 0.7): DataFrame = {
+                   shingleK: Int = 3, threshold: Double = 0.7,
+                   maxBucket: Int = 256): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
-    val sig = df
+    val base = df
       .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
-      .select(col(idCol).as("id"), col(textCol).as("txt"),
-        minHashUdf(col(textCol), lit(numHashes), lit(shingleK)).as("sig"))
+      .select(col(idCol).as("id"), col(textCol).as("txt"))
 
-    // one row per (band, bucket-hash, id)
-    val banded = sig.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+    // one row per (band, bucket-hash, id); the signature expression runs
+    // exactly once per document — it lives in its own projection (an
+    // attribute referenced `bands` times is not inlined by
+    // CollapseProject), and the band hashes are a plain literal-indexed
+    // array so the whole stage stays in codegen
+    val banded = base
+      .select(col("id"), min_hash_sig(col("txt"), numHashes, shingleK).as("sig"))
+      .select(col("id"), posexplode(array((0 until bands).map(b =>
+        xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b))): _*)))
       .select(col("pos").as("band"), col("col").as("bucket"), col("id"))
 
-    val cand = banded.as("l").join(banded.as("r"),
-        col("l.band") === col("r.band") &&
-        col("l.bucket") === col("r.bucket") &&
-        col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+    val cand = lshBucketPairs(banded, Seq("band", "bucket"), col("id"), maxBucket, "dd2")
       .distinct()
 
     val withText = cand
-      .join(sig.select(col("id").as("id_a"), col("txt").as("txt_a")), Seq("id_a"))
-      .join(sig.select(col("id").as("id_b"), col("txt").as("txt_b")), Seq("id_b"))
+      .join(base.select(col("id").as("id_a"), col("txt").as("txt_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("txt").as("txt_b")), Seq("id_b"))
 
     withText
       .select(col("id_a"), col("id_b"),
@@ -82,27 +114,36 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** SimHash near-dup pairs: 64-bit simhash, candidates share at least
-    * one of four 16-bit chunks (catches Hamming distance ≤ 3 by
-    * pigeonhole), verified by true Hamming distance.
+  /** SimHash near-dup pairs: 64-bit simhash, chunk count derived as
+    * maxHamming + 1 so the pigeonhole recall guarantee ("a pair within
+    * maxHamming shares at least one unchanged chunk") actually covers
+    * the requested radius (round 1 fixed 4 chunks, which only
+    * guarantees distance ≤ 3). Signatures ride the bucket shuffle as a
+    * struct (16 bytes/row) so the Hamming verify needs no join-back.
     */
   def simHashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
+    val nChunks = maxHamming + 1
+    require(nChunks >= 1 && nChunks <= 64, "maxHamming must be in [0, 63]")
     val sigs = df
       .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
       .select(col(idCol).as("id"), sim_hash(col(textCol)).as("sig"))
-    val chunked = sigs.select(col("id"), col("sig"),
-        posexplode(array((0 until 4).map(i =>
-          shiftrightunsigned(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-      .select(col("id"), col("sig"), col("pos").as("chunk"), col("col").as("ckey"))
-    val ham = chunked.as("l").join(chunked.as("r"),
-        col("l.chunk") === col("r.chunk") &&
-        col("l.ckey") === col("r.ckey") &&
-        col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).as("hamming"))
+    // chunk i covers bits [i*64/n, (i+1)*64/n) — widths differ by ≤ 1
+    val chunkCols = (0 until nChunks).map { i =>
+      val lo = i * 64 / nChunks
+      val hi = (i + 1) * 64 / nChunks
+      val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L
+      shiftrightunsigned(col("sig"), lo).bitwiseAND(lit(mask))
+    }
+    val chunked = sigs
+      .select(struct(col("id"), col("sig")).as("is"), posexplode(array(chunkCols: _*)))
+      .select(col("pos").as("chunk"), col("col").as("ckey"), col("is"))
+
+    lshBucketPairs(chunked, Seq("chunk", "ckey"), col("is"), maxBucket, "dd3")
+      .select(col("id_a.id").as("id_a"), col("id_b.id").as("id_b"),
+        bit_count(col("id_a.sig").bitwiseXOR(col("id_b.sig"))).as("hamming"))
       .distinct()
-    ham.where(col("hamming") <= maxHamming)
+      .where(col("hamming") <= maxHamming)
   }
 
   /** N-gram Jaccard between explicit row pairs (consecutive ids) — the

@@ -34,8 +34,6 @@ object CheckpointedRun {
           metricsRoot: Option[String] = None,
           skewMaxTurns: Int = 0): RunResult = {
     val table = SnapshotTable(outRoot, nBuckets)
-    val done = table.completedBuckets
-    val todo = (0 until nBuckets).filterNot(done)
     val bucket = Metrics.bucketCol(nBuckets)
 
     // metrics are snapshot tables of their own (the "Iceberg metrics
@@ -46,12 +44,29 @@ object CheckpointedRun {
       (SnapshotTable(s"$mr/bucket_stats", nBuckets),
         SnapshotTable(s"$mr/rule_lineage", nBuckets)))
 
+    // a bucket counts as done only when data AND metrics committed it:
+    // a crash between the data commit and the metrics commits must
+    // re-run the bucket on restart (every commit is an idempotent
+    // overwrite), otherwise its stats/lineage rows are lost for good
+    val done = metricTables match {
+      case Some((statsT, lineageT)) =>
+        table.completedBuckets intersect statsT.completedBuckets intersect
+          lineageT.completedBuckets
+      case None => table.completedBuckets
+    }
+    val todo = (0 until nBuckets).filterNot(done)
+
     todo.foreach { b =>
       val labeled = QualityFilter.label(input.where(bucket === b), skewMaxTurns)
       table.commitBucket(labeled, b)
       metricTables.foreach { case (statsT, lineageT) =>
-        statsT.commitBucket(Metrics.bucketStats(labeled, nBuckets), b)
-        lineageT.commitBucket(Metrics.ruleLineage(labeled, nBuckets), b)
+        // metrics read the bucket's COMMITTED parquet back instead of
+        // re-running the pipeline per metrics table (2 extra pipeline
+        // executions per bucket in round 1), and are thereby derived
+        // from exactly the bytes the data snapshot serves
+        val committed = input.sparkSession.read.parquet(s"$outRoot/data/bucket=$b")
+        statsT.commitBucket(Metrics.bucketStats(committed, nBuckets), b)
+        lineageT.commitBucket(Metrics.ruleLineage(committed, nBuckets), b)
       }
     }
     RunResult(table.currentVersion, todo, done.toSeq.sorted)

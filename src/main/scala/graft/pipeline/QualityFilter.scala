@@ -90,14 +90,17 @@ object QualityFilter {
     // whose sort requirement (conv) is a prefix of wSeq's (conv, turn),
     // so the vote shares wSeq's sort. Total intra-partition sorts in
     // the whole pipeline: 2 (conv,norm_hash,turn) + (conv,turn).
+    // Each sum is projected ONCE as a named column and the vote is
+    // derived downstream from the attributes: WindowExec does not CSE,
+    // so inlining the sums into greatest/coalesce (the round-1 shape)
+    // materialized 24 aggregate buffers for 4 distinct sums.
     val langs = LangId.default.langs // sorted; eligible rows only carry these
-    val cnts = langs.toSeq.map(l =>
-      sum(when(eligible && $"lang" === l, 1).otherwise(0)).over(wConv))
-    val maxCnt = greatest(cnts: _*)
+    val voteSums = langs.toSeq.map(l =>
+      sum(when(eligible && $"lang" === l, 1).otherwise(0)).over(wConv).as(s"cnt_$l"))
+    val maxCnt = greatest(langs.toSeq.map(l => col(s"cnt_$l")): _*)
     val convLang = when(maxCnt > 0, coalesce(
-      langs.toSeq.zip(cnts).map { case (l, c) =>
-        when(c === maxCnt, lit(l))
-      }: _*)).otherwise(lit("und"))
+      langs.toSeq.map(l => when(col(s"cnt_$l") === maxCnt, lit(l))): _*))
+      .otherwise(lit("und"))
 
     val withWindows = byConv
       .withColumn("dup_rank",
@@ -105,6 +108,7 @@ object QualityFilter {
       .withColumn("is_first", row_number().over(wSeq) === 1)
       .withColumn("prev_idx", lag($"turn_idx", 1).over(wSeq))
       .withColumn("prev_ts", lag($"ts", 1).over(wSeq))
+      .select(col("*") +: voteSums: _*)
       .withColumn("conv_lang", convLang)
 
     // rule evaluation + fused scrub projection shared with the

@@ -93,11 +93,17 @@ object SkewSplit {
         lag($"last".getField("ts"), 1).over(wConvBkt).as("prev_ts_b"),
         lag($"bkt", 1).over(wConvBkt).isNull.as("first_bkt"))
 
+    // boundary value selected by ROW POSITION, not null-coalescing:
+    // lag(ts) is null both for "first row of bucket" and "predecessor
+    // has null ts" — coalescing would substitute the previous bucket's
+    // boundary ts for an in-bucket null predecessor and fire
+    // RuleTsRegress where the unsplit path (compare against the
+    // immediate predecessor, skip on null) would not
     val withPrev = local
       .join(boundaries, Seq("conv_id", "bkt"))
       .withColumn("is_first", $"first_bkt" && $"rn_bkt" === 1)
-      .withColumn("prev_idx", coalesce($"prev_idx_l", $"prev_idx_b"))
-      .withColumn("prev_ts", coalesce($"prev_ts_l", $"prev_ts_b"))
+      .withColumn("prev_idx", when($"rn_bkt" === 1, $"prev_idx_b").otherwise($"prev_idx_l"))
+      .withColumn("prev_ts", when($"rn_bkt" === 1, $"prev_ts_b").otherwise($"prev_ts_l"))
 
     // language vote: two-phase aggregation (map-side combine soaks the
     // skew) + broadcast join back (few giant conversations)

@@ -44,9 +44,12 @@ class ExtensionsSpec extends AnyFunSuite {
     t.rollbackTo(1)
     assert(t.currentVersion == 1)
     assert(t.read(spark).count() == 1)
-    // next commit builds on the rolled-back state
-    t.commitBucket(Seq((3, "c")).toDF("k", "v"), 2) // v2 again
+    // next commit builds on the rolled-back state (parent = v1); it is
+    // allocated PAST the divergent v2, which stays time-travel-readable
+    t.commitBucket(Seq((3, "c")).toDF("k", "v"), 2) // v3, parent 1
     assert(t.completedBuckets == Set(0, 2))
+    assert(t.currentVersion == 3)
+    assert(t.readAt(spark, 2).count() == 2) // divergent branch still readable
     intercept[IllegalArgumentException](t.rollbackTo(99))
   }
 }

@@ -115,6 +115,50 @@ class OpsSpec extends AnyFunSuite {
     assert(ivf == ivf2)
   }
 
+  test("hot bucket: 10k identical docs complete without quadratic pair blowup") {
+    import spark.implicits._
+    // 10k exact duplicates all share every band signature — uncapped LSH
+    // would expand ~50M candidate pairs in one task
+    val cap = 64
+    val docs = (0L until 10000L)
+      .map(i => (i, "boilerplate header repeated across the whole crawl"))
+      .toDF("doc_id", "text")
+    val n = Dedup.minHashPairs(docs, "text", "doc_id",
+      numHashes = 32, bands = 8, shingleK = 2, threshold = 0.5,
+      maxBucket = cap).count()
+    assert(n > 0 && n <= cap.toLong * (cap - 1) / 2,
+      s"capped bucket emitted $n pairs")
+    val nSim = Dedup.simHashPairs(docs, "text", "doc_id",
+      maxHamming = 3, maxBucket = cap).count()
+    assert(nSim > 0 && nSim <= cap.toLong * (cap - 1) / 2)
+  }
+
+  test("simhash pairs == brute force at maxHamming 8 (chunk count derived)") {
+    import spark.implicits._
+    // word-swapped variants of a base sentence → intermediate hamming
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "mu", "nu")
+    val rng = new TranscriptRng(23)
+    val docs = (0L until 60L).map { i =>
+      val toks = (0 until 12).map { j =>
+        if (rng.nextDouble() < 0.15) words((j + 1 + (rng.nextDouble() * 11).toInt) % 12)
+        else words(j)
+      }
+      (i, toks.mkString(" "))
+    }
+    val truth = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      h = java.lang.Long.bitCount(TextAlgos.simHash(ta) ^ TextAlgos.simHash(tb))
+      if h <= 8
+    } yield (ia, ib, h)).toSet
+    assert(truth.exists(p => p._3 >= 4 && p._3 <= 8),
+      "fixture must exercise the 4-8 hamming range the round-1 4-chunk LSH missed")
+    val got = Dedup.simHashPairs(docs.toDF("doc_id", "text"), "text", "doc_id",
+        maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == truth, s"missed: ${truth -- got}; extra: ${got -- truth}")
+  }
+
   /** Deterministic gaussian-ish RNG for test vectors. */
   private final class TranscriptRng(seed: Long) {
     private var s = seed

@@ -63,6 +63,36 @@ class PipelinePlanSpec extends AnyFunSuite {
       !readSchema.contains("text"), s"ReadSchema: $readSchema")
   }
 
+  test("language vote computes one window sum per language, not per reference") {
+    val df = QualityFilter.label(TranscriptGen.generate(spark, 50, 1L, 100))
+    val p = plan(df)
+    val langs = graft.lang.LangId.default.langs.size
+    // each window aggregate buffer shows up as one "sum(CASE WHEN" inside
+    // the Window node; round 1 inlined the sums into greatest/coalesce and
+    // paid langs*(langs+2) buffers
+    val windowNodes = p.linesIterator.filter(_.contains("Window [")).mkString("\n")
+    val sums = "sum\\(".r.findAllIn(windowNodes).length
+    assert(sums == langs, s"expected $langs window sums, got $sums in:\n$windowNodes")
+  }
+
+  test("LSH bucket keys carry no embedding/text payload (ann2/ann3/dd2)") {
+    // the posexplode Generate node's carried-through columns must be the
+    // id only — round 1 carried the embedding/text into `tables` bucket
+    // rows per id, amplifying the fattest column through the exchange
+    def generateLines(p: String): Seq[String] =
+      p.linesIterator.filter(_.contains("Generate posexplode")).toSeq
+    for (q <- Seq("ann2_lsh_topk", "ann3_embed_neardup")) {
+      val lines = generateLines(plan(SparkEntry.queries(q)(spark, sf)))
+      assert(lines.nonEmpty, q)
+      lines.foreach(l => assert(!l.contains("vec#") && !l.contains("embedding#"),
+        s"$q: embedding rides the bucket explode:\n$l"))
+    }
+    val ddLines = generateLines(plan(SparkEntry.queries("dd2_minhash_pairs")(spark, sf)))
+    assert(ddLines.nonEmpty)
+    ddLines.foreach(l => assert(!l.contains("txt#") && !l.contains("text#"),
+      s"dd2: text rides the band explode:\n$l"))
+  }
+
   test("filter pushdown reaches the scan (c6 doc_id < 40)") {
     val p = plan(SparkEntry.queries("c6_scrub_email")(spark, sf))
     assert(p.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,40)]") ||

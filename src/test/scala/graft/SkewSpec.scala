@@ -41,4 +41,30 @@ class SkewSpec extends AnyFunSuite {
     val maxConv = turns.groupBy(_.conv_id).map(_._2.size).max
     assert(maxConv > 25, s"fixture too small (max conv $maxConv)")
   }
+
+  test("skew-split == oracle with null timestamps inside giant conversations") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // null ts at bucket-boundary positions (first/last row of a 25-turn
+    // bucket) AND mid-bucket: lag(ts) over the bucket window is then
+    // null for a row whose PREDECESSOR exists — the round-1
+    // coalesce(prev_ts_l, prev_ts_b) wrongly substituted the previous
+    // bucket's boundary ts there and could fire ts_regress
+    val turns = TranscriptGen.generateLocal(120, seed = 77, skewCap = 600)
+      .map(t => if (t.turn_idx % 25 == 0 || t.turn_idx % 25 == 24 || t.turn_idx % 13 == 7)
+        t.copy(ts = null) else t)
+    val ds = spark.createDataset(turns).repartition(7)
+
+    val expected = OracleFilter.run(turns).map(normalize)
+    val split = QualityFilter.label(ds, skewMaxTurns = 25).as[LabeledTurn]
+      .collect().sortBy(t => (t.conv_id, t.turn_idx)).map(normalize)
+    assert(split.toSeq == expected, {
+      val bad = expected.zip(split).filter { case (e, a) => e != a }.take(3)
+      s"${bad.size}+ mismatches, first: ${bad.headOption}"
+    })
+    val maxConv = turns.groupBy(_.conv_id).map(_._2.size).max
+    assert(maxConv > 25, s"fixture too small (max conv $maxConv)")
+    assert(turns.exists(t => t.ts == null && t.turn_idx % 25 != 0),
+      "fixture must contain an in-bucket null-ts predecessor")
+  }
 }
