@@ -35,6 +35,287 @@ object SparkEntry {
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val phoneRe = "\\+?[0-9](?:[0-9()\\-. ]{6,14})[0-9]"
 
+  // ---------------- reference-parity fixtures (shared query ↔ oracle)
+  import graft.facts.FactDictionaries
+  import graft.fixtures.ClientsFixture
+
+  /** Extra country anomalies exercising every suggestion channel the
+    * CLIENTS fixture alone does not hit: exact 2L code, exact 3L code,
+    * translated-name exact hit, accent-stripped name, near-miss.
+    */
+  private val countryExtraAnoms: Seq[(Int, String)] = Seq(
+    (101, "US"), (102, "FRA"), (103, "Germany"),
+    (104, "Etats-Unis"), (105, "Royaume Uni"))
+
+  /** Dirty values per data type for the constraint-registry sub-rules
+    * (data_types.json:19-125).
+    */
+  private val subRuleFixture: Seq[(Int, String, String)] = Seq(
+    (1, "email", "eve.clement@gmail.com"), (2, "email", "jean dupont@mail.fr"),
+    (3, "email", "a!b@mail..fr"), (4, "email", "x@" + "y" * 260 + ".com"),
+    (5, "montant", "1,234"), (6, "montant", "12.345,67"),
+    (7, "montant", "1234.56"), (8, "montant", "15€€"), (9, "montant", "999"),
+    (10, "telephone", "+33777889911"), (11, "telephone", "06.17.58.65.65"),
+    (12, "telephone", "06/17/58/65"), (13, "telephone", "(+33) 777-889"),
+    (14, "numerique", "12.5"), (15, "numerique", "12a"), (16, "numerique", "-7"))
+
+  /** Date strings covering the 14 reformat formats + invalid cases. */
+  private val dateFixture: Seq[(Int, String)] = Seq(
+    (1, "1951-06-17"), (2, "17-06-1951"), (3, "06-17-1951"),
+    (4, "1951/06/17"), (5, "17/06/1951"), (6, "06/17/1951"),
+    (7, "1951.06.17"), (8, "17.06.1951"), (9, "06.17.1951"),
+    (10, "1951 06 17"), (11, "17 06 1951"), (12, "06 17 1951"),
+    (13, "Jun 17, 1951"), (14, "17 Jun 1951"),
+    (15, "not a date"), (16, "31-02-2020"), (17, "05-08-1983"))
+
+  /** Column semantic types of the CLIENTS fixture — the type vote's
+    * outcome on this frame, pinned so the correction chain and its
+    * oracle agree (the a16b query exercises the vote itself).
+    */
+  private val clientsChainSpec = graft.ops.ReferenceCorrections.ChainSpec(
+    "clients_id", Seq(
+      "codcli" -> "unknown", "civcli" -> "civilite", "nomcli" -> "unknown",
+      "prencli" -> "unknown", "catcli" -> "integer", "adncli" -> "numerique",
+      "adrcli" -> "adresse", "cpcli" -> "numerique", "vilcli" -> "ville",
+      "payscli" -> "pays", "mailcli" -> "email", "telcli" -> "phone",
+      "datnaiscli" -> "date", "dpremcontactcli" -> "date",
+      "obscli" -> "unknown", "remcli" -> "unknown", "genrecli" -> "unknown"))
+
+  private val clientsStringCols: Seq[String] =
+    clientsChainSpec.types.collect { case (c, t) if t != "integer" => c }
+
+  // ------------------------ generated DuckDB SQL for the parity oracles
+  // (every literal below derives from the same Scala value the Spark
+  // query uses — single source of truth)
+
+  private def sqlQuote(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  private def inList(vals: Seq[String]): String =
+    vals.distinct.map(sqlQuote).mkString("(", ", ", ")")
+
+  private val missingSentinelsSqlList =
+    inList(Seq("", "-", "?", "!", "=", "nan", "NULL", "MISSINGVALUE"))
+
+  private val nullSentinelsSqlList =
+    inList(Seq("", "-", "?", "!", "=", "nan", "NULL", "MISSINGVALUE", " -", "- "))
+
+  private def notInDictSql(c: String, vals: Seq[String]): String =
+    s"$c IS NOT NULL AND upper($c) NOT IN ${inList(vals.map(_.toUpperCase))}"
+
+  private val tldRe = graft.ops.SemanticTypes.EmailTldWhitelistRe
+  private val numRe = graft.ops.SemanticTypes.NumericTypeRe
+  private val frCountryNames = FactDictionaries.countries.map(_._4)
+  private val frCityNames = FactDictionaries.cities.map(_._1)
+
+  private def countryExtraAnomsSql: String =
+    countryExtraAnoms.map { case (i, v) => s"($i, ${sqlQuote(v)})" }
+      .mkString("(VALUES ", ", ", ") AS e(id_ligne, anomaly)")
+
+  /** The 5-channel country suggestion as DuckDB SQL over anomaly CTE
+    * `anom(id_ligne, anomaly)` and dictionary CTE `bf` — mirror of
+    * Suggest.countrySuggestions.
+    */
+  private def countryScoredSql: String =
+    s"""tr AS (SELECT a.*, coalesce((SELECT min(b.nom_pays_fr) FROM bf b
+            WHERE upper(b.nom_pays_en) = upper(a.anomaly)), '') AS translated
+          FROM anom a),
+        scored AS (SELECT t.id_ligne, t.anomaly, bf.nom_pays_fr AS suggest,
+            bf.code_2l, bf.code_3l,
+            jaro_winkler_similarity(bf.nom_pays_fr, t.anomaly) AS jw_nom_pays,
+            jaro_winkler_similarity(bf.nom_pays_fr, t.translated) AS jw_nom_pays_traduit,
+            jaro_winkler_similarity(bf.code_2l, t.anomaly) AS jw_code_2l,
+            jaro_winkler_similarity(bf.code_3l, t.anomaly) AS jw_code_3l,
+            jaro_winkler_similarity(bf.nom_pays_fr,
+              regexp_replace(t.anomaly, '[^A-Za-z0-9]+', '', 'g')) AS jw_sans_car_spec
+          FROM tr t CROSS JOIN bf),
+        hits AS (SELECT * FROM scored
+          WHERE jw_code_2l = 1.0 OR jw_code_3l = 1.0 OR jw_nom_pays_traduit = 1.0
+             OR jw_nom_pays > 0.85 OR jw_sans_car_spec > 0.85)"""
+
+  /** SELECT list that keeps `cols` in order, replacing the ones in
+    * `repl` with the given expression.
+    */
+  private def selCols(cols: Seq[String], repl: Map[String, String]): String =
+    cols.map(c => repl.get(c).map(e => s"$e AS $c").getOrElse(c)).mkString(", ")
+
+  /** Like [[selCols]] but reading unreplaced columns from alias `c`
+    * (for the suggestion LEFT JOIN steps).
+    */
+  private def selColsFromC(cols: Seq[String], repl: Map[String, String]): String =
+    cols.map(c => repl.get(c).map(e => s"$e AS $c").getOrElse(s"c.$c")).mkString(", ")
+
+  /** c17: the whole correction chain as one DuckDB query — mirror of
+    * ReferenceCorrections.applyChain over the same fixture and
+    * dictionaries.
+    */
+  private def c17Sql: String = {
+    val id = "clients_id"
+    val tCols = clientsChainSpec.types.map(_._1)
+    val all = id +: tCols
+    val allD = all :+ "__dup"
+    def ofType(t: String) = clientsChainSpec.types.collect { case (c, tt) if tt == t => c }
+    val strCols = clientsStringCols
+    val unknownCols = ofType("unknown")
+
+    val s1 = selCols(allD, strCols.map(c =>
+      c -> s"CASE WHEN $c IN $nullSentinelsSqlList THEN NULL ELSE $c END").toMap)
+    val s2 = selCols(allD, Map("catcli" ->
+      ("CASE WHEN catcli < q1 - 1.5*(q3-q1) OR catcli > q3 + 1.5*(q3-q1) " +
+        "THEN CAST(round(m, 0) AS INTEGER) ELSE catcli END")))
+    val s3 = selCols(allD, strCols.map(c =>
+      c -> s"CASE WHEN regexp_matches($c, '\\s{2,}') THEN trim($c) ELSE $c END").toMap)
+    val s5 = selCols(all, unknownCols.map(c =>
+      c -> (s"CASE WHEN regexp_matches($c, '[^a-zA-Z0-9\\s]') " +
+        s"THEN regexp_replace($c, '[^A-Za-z0-9]+', '', 'g') ELSE $c END")).toMap)
+    val s6 = selCols(all, Map("mailcli" ->
+      (s"lower(CASE WHEN mailcli IS NOT NULL AND NOT regexp_matches(lower(mailcli), ${sqlQuote(tldRe)}) " +
+        "THEN NULL ELSE mailcli END)")))
+    val s7a = selCols(all, Map("payscli" ->
+      s"CASE WHEN ${notInDictSql("payscli", frCountryNames)} THEN trim(payscli) ELSE payscli END"))
+    val s8a = selColsFromC(all, Map("payscli" ->
+      "upper(coalesce(s.suggest, c.payscli))"))
+    val s8b = selCols(all, Map("vilcli" ->
+      s"CASE WHEN ${notInDictSql("vilcli", frCityNames)} THEN trim(vilcli) ELSE vilcli END"))
+    val s9a = selColsFromC(all, Map("vilcli" ->
+      ("CASE WHEN s.suggest IS NOT NULL THEN upper(substr(s.suggest, 1, 1)) || lower(substr(s.suggest, 2)) " +
+        "WHEN c.vilcli IS NULL THEN NULL " +
+        "ELSE upper(substr(c.vilcli, 1, 1)) || lower(substr(c.vilcli, 2)) END")))
+    val s9b = selCols(all, Map("civcli" ->
+      s"CASE WHEN ${notInDictSql("civcli", FactDictionaries.civilities)} THEN trim(civcli) ELSE civcli END"))
+    val s10 = selColsFromC(all, Map("civcli" ->
+      ("CASE WHEN s.suggest IS NOT NULL THEN upper(substr(s.suggest, 1, 1)) || lower(substr(s.suggest, 2)) " +
+        "WHEN c.civcli IS NULL THEN NULL " +
+        "ELSE upper(substr(c.civcli, 1, 1)) || lower(substr(c.civcli, 2)) END")))
+    val s11 = selCols(all, ofType("numerique").map(c =>
+      c -> (s"CASE WHEN $c IS NOT NULL AND NOT regexp_matches(lower($c), ${sqlQuote(numRe)}) " +
+        s"THEN NULL ELSE $c END")).toMap)
+    val s12 = selCols(all, unknownCols.map(c =>
+      c -> (s"CASE WHEN $c IS NULL THEN NULL " +
+        s"ELSE upper(substr($c, 1, 1)) || lower(substr($c, 2)) END")).toMap)
+
+    s"""WITH bf AS (SELECT * FROM ${FactDictionaries.countriesSql}),
+        bv AS (SELECT * FROM ${FactDictionaries.citiesSql}),
+        bc AS (SELECT * FROM ${FactDictionaries.civilitiesSql}),
+        c0 AS (SELECT *, row_number() OVER (PARTITION BY ${tCols.mkString(", ")}
+            ORDER BY $id) > 1 AS __dup
+          FROM ${ClientsFixture.sqlValues}),
+        c1 AS (SELECT $s1 FROM c0),
+        st AS (SELECT quantile_cont(catcli, 0.25) AS q1, quantile_cont(catcli, 0.75) AS q3,
+            avg(catcli) AS m FROM c1),
+        c2 AS (SELECT $s2 FROM c1, st),
+        c3 AS (SELECT $s3 FROM c2),
+        c4 AS (SELECT ${all.mkString(", ")} FROM c3 WHERE NOT __dup),
+        c5 AS (SELECT $s5 FROM c4),
+        c6 AS (SELECT $s6 FROM c5),
+        c7 AS (SELECT $s7a FROM c6),
+        anom AS (SELECT $id AS id_ligne, payscli AS anomaly FROM c7
+          WHERE ${notInDictSql("payscli", frCountryNames)}),
+        $countryScoredSql,
+        psugg AS (SELECT id_ligne AS $id, suggest FROM (SELECT *,
+            row_number() OVER (PARTITION BY id_ligne ORDER BY
+              greatest(jw_nom_pays, jw_nom_pays_traduit, jw_code_2l, jw_code_3l, jw_sans_car_spec) DESC,
+              suggest ASC) AS rn FROM hits) WHERE rn = 1),
+        c8 AS (SELECT $s8a FROM c7 c LEFT JOIN psugg s USING ($id)),
+        c8b AS (SELECT $s8b FROM c8),
+        vanom AS (SELECT $id AS id_ligne, vilcli AS anomaly FROM c8b
+          WHERE ${notInDictSql("vilcli", frCityNames)}),
+        vsugg AS (SELECT id_ligne AS $id, suggest FROM (SELECT a.id_ligne, b.suggest,
+            row_number() OVER (PARTITION BY a.id_ligne ORDER BY
+              jaro_winkler_similarity(b.suggest, a.anomaly) DESC, b.suggest ASC) AS rn
+          FROM vanom a CROSS JOIN (SELECT DISTINCT nom_ville_fr AS suggest FROM bv) b
+          WHERE jaro_winkler_similarity(b.suggest, a.anomaly) > 0.85) WHERE rn = 1),
+        c9 AS (SELECT $s9a FROM c8b c LEFT JOIN vsugg s USING ($id)),
+        c9b AS (SELECT $s9b FROM c9),
+        canom AS (SELECT $id AS id_ligne, civcli AS anomaly FROM c9b
+          WHERE ${notInDictSql("civcli", FactDictionaries.civilities)}),
+        csugg AS (SELECT id_ligne AS $id, suggest FROM (SELECT a.id_ligne, b.suggest,
+            row_number() OVER (PARTITION BY a.id_ligne ORDER BY
+              jaro_winkler_similarity(b.suggest, a.anomaly) DESC, b.suggest ASC) AS rn
+          FROM canom a CROSS JOIN (SELECT DISTINCT civilite AS suggest FROM bc) b
+          WHERE jaro_winkler_similarity(b.suggest, a.anomaly) > 0.85) WHERE rn = 1),
+        c10 AS (SELECT $s10 FROM c9b c LEFT JOIN csugg s USING ($id)),
+        c11 AS (SELECT $s11 FROM c10),
+        c12 AS (SELECT $s12 FROM c11)
+        SELECT ${all.mkString(", ")} FROM c12 ORDER BY $id"""
+  }
+
+  /** a14b: the exact reference score formula as DuckDB SQL — mirror of
+    * ReferenceCorrections.referenceScore.
+    */
+  private def a14bSql: String = {
+    def anomalySql(c: String, t: String): String = t match {
+      case "email" =>
+        s"($c IS NOT NULL AND NOT regexp_matches(lower($c), ${sqlQuote(tldRe)}))"
+      case "numerique" =>
+        s"($c IS NOT NULL AND NOT regexp_matches(lower($c), ${sqlQuote(numRe)}))"
+      case "phone" =>
+        s"($c IS NOT NULL AND NOT regexp_matches($c, ${sqlQuote(graft.ops.SemanticTypes.PhoneTypeRe)}))"
+      case "adresse" =>
+        s"($c IS NOT NULL AND NOT regexp_matches($c, ${sqlQuote(graft.ops.SemanticTypes.AddressTypeRe)}))"
+      case "pays" => s"(${notInDictSql(c, frCountryNames)})"
+      case "ville" => s"(${notInDictSql(c, frCityNames)})"
+      case "civilite" => s"(${notInDictSql(c, FactDictionaries.civilities)})"
+      case _ => "FALSE"
+    }
+    val sums = clientsChainSpec.types.map { case (c, t) =>
+      val missing =
+        if (t == "integer") s"sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)"
+        else s"sum(CASE WHEN $c IS NULL OR $c IN $missingSentinelsSqlList THEN 1 ELSE 0 END)"
+      val outliers =
+        if (t == "integer")
+          s" + sum(CASE WHEN $c < q1 - 1.5*(q3-q1) OR $c > q3 + 1.5*(q3-q1) THEN 1 ELSE 0 END)"
+        else ""
+      val anoms = s" + sum(CASE WHEN ${anomalySql(c, t)} THEN 1 ELSE 0 END)"
+      s"CAST($missing$outliers$anoms AS DOUBLE) AS bad_$c"
+    }
+    val ncols = clientsChainSpec.types.size + 1
+    val ratio = clientsChainSpec.types.map { case (c, _) => s"bad_$c / n" }.mkString(" + ")
+    s"""WITH cl AS (SELECT * FROM ${ClientsFixture.sqlValues}),
+        st AS (SELECT quantile_cont(catcli, 0.25) AS q1, quantile_cont(catcli, 0.75) AS q3 FROM cl),
+        agg AS (SELECT count(*) AS n, ${sums.mkString(", ")} FROM cl, st)
+        SELECT round(100 - (${ratio}) * 100.0 / ${ncols - 1}, 4) AS score FROM agg"""
+  }
+
+  /** a16b: the 10-type vote per CLIENTS column — mirror of
+    * SemanticTypes.majorityTypeFull, decision procedure generated from
+    * the same precedence tables.
+    */
+  private def a16bSql: String = {
+    import graft.ops.SemanticTypes
+    val over60 = SemanticTypes.over60Precedence
+      .map(t => s"WHEN $t > 0.6 THEN '$t'").mkString("CASE ", " ", " END")
+    val best = SemanticTypes.majorityOrder.mkString("greatest(", ", ", ")")
+    val majority = SemanticTypes.majorityOrder
+      .map(t => s"WHEN $t = __best AND __best > 0.5 THEN '$t'")
+      .mkString("CASE ", " ", " END")
+    val rates = SemanticTypes.voteRateSql("v").map { case (k, p) =>
+      s"avg(CASE WHEN $p THEN 1.0 ELSE 0.0 END) AS $k" }.mkString(", ")
+    val perCol = clientsStringCols.map { c =>
+      s"""SELECT '$c' AS column_name,
+            coalesce($over60, $majority, 'UNKNOWN') AS detected_type
+          FROM (SELECT *, $best AS __best FROM (SELECT $rates
+            FROM (SELECT $c AS v FROM cl WHERE $c IS NOT NULL
+                  ORDER BY clients_id LIMIT 20)))"""
+    }
+    s"""WITH cl AS (SELECT * FROM ${ClientsFixture.sqlValues})
+        SELECT column_name, detected_type FROM (${perCol.mkString(" UNION ALL ")})
+        ORDER BY column_name"""
+  }
+
+  private def f16bSql: String = {
+    import graft.ops.SemanticTypes
+    val fixture = subRuleFixture.map { case (i, t, v) =>
+      s"($i, ${sqlQuote(t)}, ${sqlQuote(v)})" }
+      .mkString("(VALUES ", ", ", ") AS f(id, dtype, v)")
+    val perRule = SemanticTypes.subRules.filter(_.re2Safe).map { r =>
+      s"""SELECT ${sqlQuote(r.dataType)} AS data_type, ${sqlQuote(r.name)} AS rule_name,
+            CAST(sum(CASE WHEN regexp_matches(v, ${sqlQuote(r.regex)}) THEN 1 ELSE 0 END) AS BIGINT) AS n
+          FROM $fixture WHERE dtype = ${sqlQuote(r.dataType)}"""
+    }
+    s"""SELECT data_type, rule_name, n FROM (${perRule.mkString(" UNION ALL ")})
+        ORDER BY data_type, rule_name"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---------------------------------------------------- profiling (A*)
@@ -298,9 +579,26 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    "dd3_simhash_pairs" -> ((s, dir) => {
-      Dedup.simHashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 8)
-        .orderBy(col("id_a"), col("id_b"))
+    "dd3_simhash_exact" -> ((s, dir) => {
+      // the chunk-LSH pair list must EQUAL the all-pairs brute force
+      // (pigeonhole recall is exact for maxHamming < chunk count); the
+      // oracle predicts the boolean — simhash itself is not
+      // SQL-expressible
+      import graft.functions.GraftExpressions.sim_hash
+      val docs = t(s, dir, "documents")
+        .where(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .select(col("doc_id"), sim_hash(col("text")).as("sig"))
+      val lsh = Dedup.simHashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 8)
+        .select(col("id_a"), col("id_b"))
+      val brute = docs.as("l").crossJoin(docs.as("r"))
+        .where(col("l.doc_id") < col("r.doc_id") &&
+          bit_count(col("l.sig").bitwiseXOR(col("r.sig"))) <= 8)
+        .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+      val nLsh = lsh.count()
+      val nBrute = brute.count()
+      val common = lsh.join(brute, Seq("id_a", "id_b"), "left_semi").count()
+      s.createDataFrame(Seq(Tuple1(nBrute > 0 && nLsh == nBrute && common == nBrute)))
+        .toDF("exact_match")
     }),
 
     "dd4_consecutive_jaccard" -> ((s, dir) => {
@@ -316,22 +614,8 @@ object SparkEntry {
         .orderBy(col("qid"), col("nid"))
     }),
 
-    "ann2_lsh_topk" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      Ann.lshTopK(e, e.where(col("vec_id") < 8), k = 3, tables = 8, bits = 8)
-        .orderBy(col("qid"), col("nid"))
-    }),
 
-    "ann4_ivf_topk" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      Ann.ivfTopK(e, e.where(col("vec_id") < 8), k = 3, nCells = 16, nProbe = 6)
-        .orderBy(col("qid"), col("nid"))
-    }),
 
-    "ann3_embed_neardup" -> ((s, dir) => {
-      Ann.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.35)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
 
     // ------------------------------------------------- text analysis (TS*)
     "ts1_token_quality" -> ((s, dir) => {
@@ -346,10 +630,11 @@ object SparkEntry {
 
     "ts2_fingerprint" -> ((s, dir) => {
       // fingerprint is whitespace/case-insensitive: fp(text) must equal
-      // fp of the uppercased double-spaced variant
+      // fp of the uppercased double-spaced variant. The oracle predicts
+      // `stable` for every row (the hash itself is not SQL-expressible;
+      // its value properties live in SimilaritySpec).
       t(s, dir, "documents").where(col("doc_id") < 100)
         .select(col("doc_id"),
-          TextStats.fingerprintCol(col("text")).as("fp"),
           (TextStats.fingerprintCol(col("text")) ===
             TextStats.fingerprintCol(upper(regexp_replace(col("text"), " ", "  "))))
             .as("stable"))
@@ -569,8 +854,189 @@ object SparkEntry {
           concat_ws("|", col("drop_reasons")).as("reasons"),
           col("scrubbed_text"), col("lang"), round(col("ppl"), 4).as("ppl"))
         .orderBy(col("conv_id"), col("turn_idx"))
+    }),
+
+    // ------------------------------- reference fixture + fact dictionaries
+    "f13_country_dict" -> ((s, _) => {
+      import graft.ops.Suggest
+      Suggest.anomaliesNotIn(ClientsFixture.df(s), "payscli",
+          FactDictionaries.countriesDf(s), "nom_pays_fr")
+        .select(col("clients_id").as("id_ligne"), col("payscli").as("anomaly"))
+        .orderBy(col("id_ligne"))
+    }),
+
+    "f14_city_dict" -> ((s, _) => {
+      import graft.ops.Suggest
+      Suggest.anomaliesNotIn(ClientsFixture.df(s), "vilcli",
+          FactDictionaries.citiesDf(s), "nom_ville_fr")
+        .select(col("clients_id").as("id_ligne"), col("vilcli").as("anomaly"))
+        .orderBy(col("id_ligne"))
+    }),
+
+    "j2c_suggest_country_full" -> ((s, _) => {
+      import graft.ops.Suggest
+      val dict = FactDictionaries.countriesDf(s)
+      val anomsFix = Suggest.anomaliesNotIn(ClientsFixture.df(s), "payscli",
+          dict, "nom_pays_fr")
+        .select(col("clients_id").as("id_ligne"), col("payscli").as("anomaly"))
+      val extras = s.createDataFrame(countryExtraAnoms).toDF("id_ligne", "anomaly")
+      Suggest.countrySuggestions(anomsFix.unionByName(extras), dict, 0.85, "fr")
+        .select(col("id_ligne"), col("anomaly"), col("suggest"),
+          col("code_2l"), col("code_3l"),
+          round(col("jw_nom_pays"), 6).as("jw_nom_pays"),
+          round(col("jw_nom_pays_traduit"), 6).as("jw_nom_pays_traduit"),
+          round(col("jw_code_2l"), 6).as("jw_code_2l"),
+          round(col("jw_code_3l"), 6).as("jw_code_3l"),
+          round(col("jw_sans_car_spec"), 6).as("jw_sans_car_spec"))
+        .orderBy(col("id_ligne"), col("suggest"))
+    }),
+
+    "f5_email_tld" -> ((s, _) => {
+      import graft.ops.SemanticTypes
+      ClientsFixture.df(s)
+        .where(col("mailcli").isNotNull && SemanticTypes.emailViolation(col("mailcli")))
+        .select(col("clients_id"), col("mailcli"))
+        .orderBy(col("clients_id"))
+    }),
+
+    "f16b_registry_subrules" -> ((s, _) => {
+      import graft.ops.SemanticTypes
+      val fixture = s.createDataFrame(subRuleFixture).toDF("id", "dtype", "v")
+      val counts = SemanticTypes.subRules.filter(_.re2Safe).map { r =>
+        fixture.where(col("dtype") === r.dataType)
+          .agg(sum(SemanticTypes.subRuleFlag(col("v"), r).cast("long")).as("n"))
+          .select(lit(r.dataType).as("data_type"), lit(r.name).as("rule_name"), col("n"))
+      }
+      counts.reduce(_ unionByName _).orderBy(col("data_type"), col("rule_name"))
+    }),
+
+    "a16b_type_vote_full" -> ((s, _) => {
+      import graft.ops.SemanticTypes
+      val cl = ClientsFixture.df(s)
+      val perCol = clientsStringCols.map { c =>
+        SemanticTypes.majorityTypeFull(
+            cl.select(col("clients_id"), col(c).as("v")), "v", "clients_id")
+          .select(lit(c).as("column_name"), col("detected_type"))
+      }
+      perCol.reduce(_ unionByName _).orderBy(col("column_name"))
+    }),
+
+    "c11b_date_reformat" -> ((s, _) => {
+      import graft.ops.SemanticTypes
+      s.createDataFrame(dateFixture).toDF("id", "raw")
+        .select(col("id"), col("raw"), SemanticTypes.reformatDate(col("raw")).as("fixed"))
+        .orderBy(col("id"))
+    }),
+
+    "c17_correction_pipeline" -> ((s, _) => {
+      import graft.ops.ReferenceCorrections
+      ReferenceCorrections.applyChain(ClientsFixture.df(s), clientsChainSpec,
+        FactDictionaries.countriesDf(s), FactDictionaries.citiesDf(s),
+        FactDictionaries.civilitiesDf(s), FactDictionaries.bloodGroupsDf(s))
+    }),
+
+    "a14b_reference_score" -> ((s, _) => {
+      import graft.ops.ReferenceCorrections
+      ReferenceCorrections.referenceScore(ClientsFixture.df(s), clientsChainSpec)
+    }),
+
+    // ------------------------------- oracle-checked LSH / io variants
+    "dd2b_minhash_brute" -> ((s, dir) => {
+      // 32 bands × 2 rows: at threshold 0.5 the per-pair miss chance is
+      // (1-j²)³² ≤ 1e-4 — exact agreement with the brute-force oracle on
+      // this fixed corpus (verified), while keeping the LSH plan shape
+      Dedup.minHashPairs(t(s, dir, "documents"), "text", "doc_id",
+          numHashes = 64, bands = 32, shingleK = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "ann2b_lsh_recall" -> ((s, dir) => {
+      val (corpus, queries) = clusteredEmbeddings(s, dir)
+      val brute = Ann.bruteForceTopK(corpus, queries, k = 5, roundTo = 9)
+        .select(col("qid"), col("nid"))
+      val lsh = Ann.lshTopK(corpus, queries, k = 5, tables = 8, bits = 6, roundTo = 9)
+        .select(col("qid"), col("nid"))
+      val nBrute = brute.count()
+      val hit = lsh.join(brute, Seq("qid", "nid"), "left_semi").count()
+      val nq = queries.count()
+      s.createDataFrame(Seq((nq, nBrute > 0 && hit.toDouble / nBrute >= 0.8)))
+        .toDF("n_queries", "recall_ok")
+    }),
+
+    "ann4b_ivf_recall" -> ((s, dir) => {
+      val (corpus, queries) = clusteredEmbeddings(s, dir)
+      val brute = Ann.bruteForceTopK(corpus, queries, k = 5, roundTo = 9)
+        .select(col("qid"), col("nid"))
+      val ivf = Ann.ivfTopK(corpus, queries, k = 5, nCells = 8, nProbe = 3, roundTo = 9)
+        .select(col("qid"), col("nid"))
+      val nBrute = brute.count()
+      val hit = ivf.join(brute, Seq("qid", "nid"), "left_semi").count()
+      val nq = queries.count()
+      s.createDataFrame(Seq((nq, nBrute > 0 && hit.toDouble / nBrute >= 0.8)))
+        .toDF("n_queries", "recall_ok")
+    }),
+
+    "ann3b_neardup_exact" -> ((s, dir) => {
+      // on the clustered corpus at cosine ≥ 0.9, 16 tables × 4 bits give
+      // per-pair miss probability ~1e-6: the LSH pair list must equal the
+      // brute-force pair list exactly
+      val (corpus, _) = clusteredEmbeddings(s, dir)
+      val lsh = Ann.cosineNearDupPairs(corpus, 0.9, tables = 16, bits = 4)
+        .select(col("id_a"), col("id_b"))
+      val ids = corpus.select(col("vec_id"), col("embedding"))
+      val brute = ids.as("l").crossJoin(ids.as("r"))
+        .where(col("l.vec_id") < col("r.vec_id"))
+        .where(Ann.cosineCol(col("l.embedding"), col("r.embedding")) >= 0.9)
+        .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"))
+      val nLsh = lsh.count()
+      val nBrute = brute.count()
+      val common = lsh.join(brute, Seq("id_a", "id_b"), "left_semi").count()
+      s.createDataFrame(Seq(Tuple1(nBrute > 0 && nLsh == nBrute && common == nBrute)))
+        .toDF("exact_match")
+    }),
+
+    "s3_json_roundtrip" -> ((s, dir) => {
+      import graft.sources.Sources
+      val path = java.nio.file.Files.createTempDirectory("graft_s3").toString + "/docs"
+      Sources.exportJson(
+        t(s, dir, "documents").where(col("doc_id") < 25)
+          .select(col("doc_id"), col("source"), col("lang")),
+        path, Seq("doc_id"))
+      Sources.readJson(s, path)
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "s11_snapshot_timetravel" -> ((s, dir) => {
+      import graft.io.SnapshotTable
+      val root = java.nio.file.Files.createTempDirectory("graft_s11").toString
+      val tbl = SnapshotTable(root, 2)
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"))
+      tbl.commitBucket(li.where(col("l_orderkey") < 100), 0) // v1
+      tbl.commitBucket(li.where(col("l_orderkey") >= 100 && col("l_orderkey") < 200), 1) // v2
+      val rows = Seq(
+        (1, tbl.readAt(s, 1).count()),
+        (2, tbl.readAt(s, 2).count()))
+      s.createDataFrame(rows).toDF("version", "n_rows")
     })
   )
+
+  /** Deterministic clustered ANN fixture derived from the embeddings
+    * table: 20 base vectors (the queries) + 5 additively-jittered
+    * members each (recall on structureless random vectors is
+    * meaningless — an ANN index needs clusters to find).
+    */
+  private def clusteredEmbeddings(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val base = t(s, dir, "embeddings").where(col("vec_id") < 20)
+    val members = base
+      .select(col("vec_id"), col("embedding"), explode(sequence(lit(1), lit(5))).as("j"))
+      .select(((col("vec_id") + 1) * 100 + col("j")).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") + sin(col("vec_id") * 31 + col("j") * 7 + i) * 0.05)
+            .cast("float")).as("embedding"))
+    (base.select(col("vec_id"), col("embedding")).unionByName(members), base)
+  }
 
   def oracleSql: Map[String, String] = Map(
     "a1_count_rows" ->
@@ -792,22 +1258,15 @@ object SparkEntry {
          FROM v""",
 
     "f8_date_classify" ->
-      """WITH d AS (SELECT o_orderkey,
+      s"""WITH d AS (SELECT o_orderkey,
            CASE CAST(o_orderkey % 3 AS INTEGER)
              WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
              WHEN 1 THEN strftime(o_orderdate, '%m/%d/%Y')
              ELSE strftime(o_orderdate, '%d.%m.%Y') END AS raw
            FROM orders WHERE o_orderkey < 200)
          SELECT o_orderkey, raw,
-           CASE WHEN regexp_matches(raw, '^\d{4}-\d{2}-\d{2}$') THEN 'YYYY-MM-DD'
-                WHEN regexp_matches(raw, '^\d{2}/\d{2}/\d{4}$') THEN 'MM/DD/YYYY'
-                WHEN regexp_matches(raw, '^\d{2}\.\d{2}\.\d{4}$') THEN 'DD.MM.YYYY'
-                WHEN regexp_matches(raw, '^\d{8}$') THEN 'YYYYMMDD'
-                ELSE 'Format de date inconnu' END AS fmt,
-           strftime(CASE
-             WHEN regexp_matches(raw, '^\d{4}-\d{2}-\d{2}$') THEN strptime(raw, '%Y-%m-%d')
-             WHEN regexp_matches(raw, '^\d{2}/\d{2}/\d{4}$') THEN strptime(raw, '%m/%d/%Y')
-             ELSE strptime(raw, '%d.%m.%Y') END, '%m-%d-%Y') AS fixed
+           ${graft.ops.SemanticTypes.classifyDateFormatSql("raw")} AS fmt,
+           ${graft.ops.SemanticTypes.reformatDateSql("raw")} AS fixed
          FROM d ORDER BY o_orderkey""",
 
     "f12_semantic_predicates" ->
@@ -921,6 +1380,126 @@ object SparkEntry {
                  least(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
                    x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE) /
                    len(string_split_regex(lower(trim(text)), '\s+')) * 5.0, 1.0) * 0.2, 6) AS quality
-         FROM documents WHERE doc_id < 40 ORDER BY doc_id"""
+         FROM documents WHERE doc_id < 40 ORDER BY doc_id""",
+
+    // ------------------------------- reference fixture + fact dictionaries
+    "f13_country_dict" ->
+      s"""SELECT clients_id AS id_ligne, payscli AS anomaly
+          FROM ${ClientsFixture.sqlValues}
+          WHERE ${notInDictSql("payscli", frCountryNames)}
+          ORDER BY id_ligne""",
+
+    "f14_city_dict" ->
+      s"""SELECT clients_id AS id_ligne, vilcli AS anomaly
+          FROM ${ClientsFixture.sqlValues}
+          WHERE ${notInDictSql("vilcli", frCityNames)}
+          ORDER BY id_ligne""",
+
+    "j2c_suggest_country_full" ->
+      s"""WITH bf AS (SELECT * FROM ${FactDictionaries.countriesSql}),
+          anom AS (
+            SELECT clients_id AS id_ligne, payscli AS anomaly
+            FROM ${ClientsFixture.sqlValues}
+            WHERE ${notInDictSql("payscli", frCountryNames)}
+            UNION ALL SELECT id_ligne, anomaly FROM $countryExtraAnomsSql),
+          $countryScoredSql
+          SELECT id_ligne, anomaly, suggest, code_2l, code_3l,
+            round(jw_nom_pays, 6) AS jw_nom_pays,
+            round(jw_nom_pays_traduit, 6) AS jw_nom_pays_traduit,
+            round(jw_code_2l, 6) AS jw_code_2l,
+            round(jw_code_3l, 6) AS jw_code_3l,
+            round(jw_sans_car_spec, 6) AS jw_sans_car_spec
+          FROM hits ORDER BY id_ligne, suggest""",
+
+    "f5_email_tld" ->
+      s"""SELECT clients_id, mailcli FROM ${ClientsFixture.sqlValues}
+          WHERE mailcli IS NOT NULL AND NOT regexp_matches(lower(mailcli), ${sqlQuote(tldRe)})
+          ORDER BY clients_id""",
+
+    "f16b_registry_subrules" -> f16bSql,
+
+    "a16b_type_vote_full" -> a16bSql,
+
+    "c11b_date_reformat" -> {
+      val vals = dateFixture.map { case (i, v) => s"($i, ${sqlQuote(v)})" }
+        .mkString("(VALUES ", ", ", ") AS d(id, raw)")
+      s"""SELECT id, raw, ${graft.ops.SemanticTypes.reformatDateSql("raw")} AS fixed
+          FROM $vals ORDER BY id"""
+    },
+
+    "c17_correction_pipeline" -> c17Sql,
+
+    "a14b_reference_score" -> a14bSql,
+
+    // ------------------------------- oracle-checked LSH / io variants
+    // brute-force 3-gram word-shingle jaccard — the ground truth the
+    // LSH pair list must reproduce (shingle semantics mirror
+    // TextAlgos.shingles: lowercase, \s+ tokens, <k → one whole-string
+    // shingle, distinct sets)
+    "dd2b_minhash_brute" ->
+      """WITH w AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS g
+           FROM w),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+               (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS j
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b, round(j, 6) AS jaccard FROM p
+         WHERE j >= 0.5 ORDER BY id_a, id_b""",
+
+    "dd4_consecutive_jaccard" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+         w AS (SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM d),
+         sh AS (SELECT doc_id, text, CASE
+             WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+             WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+             ELSE list_distinct(list_transform(generate_series(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1])) END AS g
+           FROM w)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CASE WHEN a.text IS NULL OR b.text IS NULL THEN NULL
+                WHEN len(a.g) = 0 AND len(b.g) = 0 THEN 1.0
+                WHEN len(a.g) = 0 OR len(b.g) = 0 THEN 0.0
+                ELSE round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+                  (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) END AS jaccard
+         FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+         ORDER BY id_a""",
+
+    // the ann recall/exactness gates emit booleans the oracle predicts:
+    // the LSH/IVF side is not SQL-expressible, but a recall regression
+    // flips the bit and fails the hash compare
+    "ann2b_lsh_recall" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
+         FROM embeddings WHERE vec_id < 20""",
+
+    "ann4b_ivf_recall" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
+         FROM embeddings WHERE vec_id < 20""",
+
+    "ann3b_neardup_exact" -> "SELECT true AS exact_match",
+
+    "dd3_simhash_exact" -> "SELECT true AS exact_match",
+
+    "ts2_fingerprint" ->
+      """SELECT doc_id, true AS stable FROM documents
+         WHERE doc_id < 100 ORDER BY doc_id""",
+
+    "s3_json_roundtrip" ->
+      """SELECT doc_id, source, lang FROM documents
+         WHERE doc_id < 25 ORDER BY doc_id""",
+
+    "s11_snapshot_timetravel" ->
+      """SELECT 1 AS version,
+           (SELECT count(*) FROM lineitem WHERE l_orderkey < 100) AS n_rows
+         UNION ALL
+         SELECT 2 AS version,
+           (SELECT count(*) FROM lineitem WHERE l_orderkey < 200) AS n_rows
+         ORDER BY version"""
   )
 }

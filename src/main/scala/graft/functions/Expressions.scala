@@ -25,9 +25,11 @@ object GraftExpressions {
     TextAlgos.symbolDensity(if (s == null) null else s.toString)
 
   def jaroWinkler(a: UTF8String, b: UTF8String): Double =
-    TextAlgos.jaroWinkler(
-      if (a == null) null else a.toString,
-      if (b == null) null else b.toString)
+    // byte-wise like pg_similarity/DuckDB; UTF8String exposes the UTF-8
+    // bytes directly (no String round-trip)
+    TextAlgos.jaroWinklerBytes(
+      if (a == null) null else a.getBytes,
+      if (b == null) null else b.getBytes)
 
   def simHash(s: UTF8String): Long =
     TextAlgos.simHash(if (s == null) null else s.toString)

@@ -69,7 +69,18 @@ object TextAlgos {
     * init-scripts/init-user-db.sh:7, used functions.sql:1704-1708) and
     * DuckDB's jaro_winkler_similarity.
     */
-  def jaro(s1: String, s2: String): Double = {
+  def jaro(s1: String, s2: String): Double =
+    jaroBytes(
+      if (s1 == null) null else s1.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      if (s2 == null) null else s2.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Jaro over UTF-8 BYTES: pg_similarity's jarowinkler and DuckDB's
+    * jaro_winkler_similarity are C byte-wise implementations, so
+    * multi-byte characters (accents) count as several units; comparing
+    * UTF-16 chars instead diverges on any accented string (found by the
+    * j2c oracle on 'Etats-Unis' vs 'États-Unis').
+    */
+  def jaroBytes(s1: Array[Byte], s2: Array[Byte]): Double = {
     if (s1 == null || s2 == null) return 0.0
     val l1 = s1.length
     val l2 = s2.length
@@ -86,7 +97,7 @@ object TextAlgos {
       var j = lo
       var found = false
       while (j <= hi && !found) {
-        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+        if (!m2(j) && s1(i) == s2(j)) {
           m1(i) = true; m2(j) = true; matches += 1; found = true
         }
         j += 1
@@ -100,7 +111,7 @@ object TextAlgos {
     while (i < l1) {
       if (m1(i)) {
         while (!m2(k)) k += 1
-        if (s1.charAt(i) != s2.charAt(k)) transpositions += 1
+        if (s1(i) != s2(k)) transpositions += 1
         k += 1
       }
       i += 1
@@ -113,16 +124,21 @@ object TextAlgos {
 
   /** Jaro-Winkler with the standard prefix boost (p=0.1, max prefix 4,
     * boost threshold 0.7) — matches DuckDB's jaro_winkler_similarity and
-    * pg_similarity defaults.
+    * pg_similarity defaults (byte-wise, see [[jaroBytes]]).
     */
-  def jaroWinkler(s1: String, s2: String): Double = {
-    val j = jaro(s1, s2)
+  def jaroWinkler(s1: String, s2: String): Double =
+    jaroWinklerBytes(
+      if (s1 == null) null else s1.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      if (s2 == null) null else s2.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  def jaroWinklerBytes(s1: Array[Byte], s2: Array[Byte]): Double = {
+    val j = jaroBytes(s1, s2)
     if (j <= 0.7) return j
     var prefix = 0
     val max = math.min(4, math.min(
       if (s1 == null) 0 else s1.length,
       if (s2 == null) 0 else s2.length))
-    while (prefix < max && s1.charAt(prefix) == s2.charAt(prefix)) prefix += 1
+    while (prefix < max && s1(prefix) == s2(prefix)) prefix += 1
     j + prefix * 0.1 * (1.0 - j)
   }
 

@@ -21,9 +21,7 @@ class EntrySmokeSpec extends AnyFunSuite {
     val expectedRowsOnly = Set(
       "qf1_quality_filter",      // transcript pipeline (our semantics)
       "lid1_langid_docs",        // broadcast model, not SQL
-      "dd2_minhash_pairs", "dd3_simhash_pairs", "dd4_consecutive_jaccard",
-      "ann2_lsh_topk", "ann3_embed_neardup", "ann4_ivf_topk", // ANN recall ≠ SQL brute force
-      "ts2_fingerprint",         // custom rolling hash
+      "dd2_minhash_pairs",       // bench headline; dd2b is its oracle-checked twin
       "mm1_multimodal_features", // stub decoder
       "dp1_doc_pipeline")        // composite: model + LSH, not SQL
     assert(rowsOnly == expectedRowsOnly,

@@ -38,9 +38,14 @@ class Ops2Spec extends AnyFunSuite {
       SemanticTypes.reformatDate(col("d")).as("fixed"))
       .as[(String, String)].collect().toSeq
     assert(got(0) == (("YYYY-MM-DD", "03-09-2024")))
-    assert(got(1) == (("MM/DD/YYYY", "03-09-2024")))
-    assert(got(2) == (("DD.MM.YYYY", "03-09-2024")))
-    assert(got(3) == (("YYYYMMDD", "03-09-2024")))
+    // %d/%m/%Y is tried before %m/%d/%Y (reference order): 03/09 = 3 Sep
+    assert(got(1) == (("MM/DD/YYYY", "09-03-2024")))
+    // reference label list (utils.py:1270-1275) has no DD.MM.YYYY label;
+    // \d{2}.\d{2}.\d{4} is labelled MM.DD.YYYY — but the 14-format parse
+    // list tries %d.%m.%Y before %m.%d.%Y, so 09.03.2024 parses as 9 Mar
+    assert(got(2) == (("MM.DD.YYYY", "03-09-2024")))
+    // bare YYYYMMDD is not one of the reference's 12 labels / 14 formats
+    assert(got(3) == (("Format de date inconnu", "Format de date inconnu.")))
     assert(got(4)._1 == "Format de date inconnu")
     assert(got(4)._2 == "Format de date inconnu.")
   }

@@ -81,8 +81,13 @@ class PipelinePlanSpec extends AnyFunSuite {
     // rows per id, amplifying the fattest column through the exchange
     def generateLines(p: String): Seq[String] =
       p.linesIterator.filter(_.contains("Generate posexplode")).toSeq
-    for (q <- Seq("ann2_lsh_topk", "ann3_embed_neardup")) {
-      val lines = generateLines(plan(SparkEntry.queries(q)(spark, sf)))
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plans = Seq(
+      "lshTopK" -> graft.ops.Ann.lshTopK(e, e.where(
+        org.apache.spark.sql.functions.col("vec_id") < 8), k = 3, tables = 8, bits = 8),
+      "cosineNearDupPairs" -> graft.ops.Ann.cosineNearDupPairs(e, 0.35))
+    for ((q, df) <- plans) {
+      val lines = generateLines(plan(df))
       assert(lines.nonEmpty, q)
       lines.foreach(l => assert(!l.contains("vec#") && !l.contains("embedding#"),
         s"$q: embedding rides the bucket explode:\n$l"))
