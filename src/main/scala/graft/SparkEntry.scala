@@ -302,6 +302,94 @@ object SparkEntry {
         ORDER BY column_name"""
   }
 
+  /** d1/d2: the criteria-lattice findings as DuckDB SQL — mirror of
+    * ops.Diagnostic at a given cumulative rank.
+    */
+  private def criteriaFindingsSql(rank: Int): String = {
+    import graft.ops.{Diagnostic, SemanticTypes}
+    val types = clientsChainSpec.types
+    val strCols = clientsStringCols
+    def sel(c: String, anom: String, p: String) =
+      s"SELECT clients_id AS id_ligne, ${sqlQuote(c)} AS colonne, ${sqlQuote(anom)} AS anomalie FROM cl WHERE $p"
+
+    val nulls = types.map { case (c, t) =>
+      if (t == "integer") sel(c, "VALEUR_NULL", s"$c IS NULL")
+      else sel(c, "VALEUR_NULL", s"($c IS NULL OR $c IN $missingSentinelsSqlList)")
+    }
+    val constraints = types.flatMap { case (c, t) => t match {
+      case "email" => Some(sel(c, "EMAIL_INCORRECTE",
+        s"$c IS NOT NULL AND NOT regexp_matches(lower($c), ${sqlQuote(tldRe)})"))
+      case "numerique" => Some(sel(c, "VALEUR_NUMERIQUE_INCORRECTE",
+        s"$c IS NOT NULL AND NOT regexp_matches(lower($c), ${sqlQuote(numRe)})"))
+      case "phone" => Some(sel(c, "FORMAT_NUMERO_TELEPHONE_INCORRECTE",
+        s"$c IS NOT NULL AND NOT regexp_matches($c, ${sqlQuote(graft.ops.SemanticTypes.PhoneTypeRe)})"))
+      case "adresse" => Some(sel(c, "FORMAT_ADRESSE_INCORRECTE",
+        s"$c IS NOT NULL AND NOT regexp_matches($c, ${sqlQuote(graft.ops.SemanticTypes.AddressTypeRe)})"))
+      case "date" => Some(sel(c, "FORMAT_DATE_INCORRECTE",
+        s"$c IS NOT NULL AND ${SemanticTypes.reformatDateSql(c)} = ${sqlQuote(SemanticTypes.UnknownDateSentinel)}"))
+      case "pays" => Some(sel(c, "PAYS_INCONNU_OU_MAL_ECRIT", notInDictSql(c, frCountryNames)))
+      case "ville" => Some(sel(c, "VILLE_INCONNU_OU_MAL_ECRIT", notInDictSql(c, frCityNames)))
+      case "civilite" => Some(sel(c, "CIVILITE_INCONNU",
+        notInDictSql(c, FactDictionaries.civilities)))
+      case "groupe_sanguin" => Some(sel(c, "GROUPE_SANGUIN_INCONNU",
+        notInDictSql(c, FactDictionaries.bloodGroups)))
+      case _ => None
+    }}
+    val general = strCols.flatMap { c => Seq(
+      sel(c, "ESPACES_SUPERFLUS", s"$c IS NOT NULL AND regexp_matches($c, '\\s{2,}')"),
+      sel(c, "CARACTERES_SPECIAUX", s"$c IS NOT NULL AND regexp_matches($c, '[^a-zA-Z0-9\\s]')"),
+      sel(c, "REPETITIONS",
+        s"$c IS NOT NULL AND regexp_matches($c, '${Diagnostic.repetitionReSql}')"))
+    }
+    val dup =
+      s"""SELECT clients_id AS id_ligne, 'Ne dépend pas de la colonne' AS colonne,
+            'DOUBLONS' AS anomalie
+          FROM (SELECT clients_id, row_number() OVER (PARTITION BY
+            ${types.map(_._1).mkString(", ")} ORDER BY clients_id) AS rn FROM cl)
+          WHERE rn > 1"""
+    val outliers =
+      s"""SELECT clients_id AS id_ligne, 'catcli' AS colonne,
+            'DETECTION_VALEUR_ABERANTE' AS anomalie
+          FROM cl, (SELECT quantile_cont(catcli, 0.25) AS q1,
+            quantile_cont(catcli, 0.75) AS q3 FROM cl) st
+          WHERE catcli < q1 - 1.5*(q3-q1) OR catcli > q3 + 1.5*(q3-q1)"""
+    val fn = strCols.map { c =>
+      s"""SELECT 0 AS id_ligne, ${sqlQuote(c)} AS colonne, 'NON_1FN_MULTITOKEN' AS anomalie
+          FROM (SELECT avg(CASE WHEN contains($c, ' ') THEN 1.0 ELSE 0.0 END) AS sr,
+            avg(len(string_split($c, ' '))) AS att FROM cl WHERE $c IS NOT NULL)
+          WHERE sr IS NOT NULL AND sr > 0.5 AND att <= 3.0"""
+    }
+    val dupCols = (for {
+      i <- strCols.indices; j <- (i + 1) until strCols.size
+    } yield {
+      val (a, b) = (strCols(i), strCols(j))
+      s"""SELECT 0 AS id_ligne, ${sqlQuote(s"$a/$b")} AS colonne,
+            'COLONNES_DUPLIQUEES' AS anomalie
+          FROM (SELECT max(CASE WHEN $a IS DISTINCT FROM $b THEN 1 ELSE 0 END) AS d FROM cl)
+          WHERE d = 0"""
+    }).toSeq
+    val parts = nulls ++
+      (if (rank >= 2) constraints else Nil) ++
+      (if (rank >= 3) fn else Nil) ++
+      (if (rank >= 4) Seq(dup) else Nil) ++
+      (if (rank >= 5) general ++ Seq(outliers) ++ dupCols else Nil)
+    parts.mkString(" UNION ALL ")
+  }
+
+  private def d1Sql: String =
+    s"""WITH cl AS (SELECT * FROM ${ClientsFixture.sqlValues})
+        SELECT id_ligne, colonne, anomalie FROM (${criteriaFindingsSql(5)})
+        ORDER BY colonne, anomalie, id_ligne"""
+
+  private def d2Sql: String = {
+    val rows = graft.ops.Diagnostic.levels.map { l =>
+      s"""SELECT ${l.rank} AS lvl, ${sqlQuote(l.name)} AS parametre,
+          (SELECT count(*) FROM (${criteriaFindingsSql(l.rank)})) AS n_findings"""
+    }
+    s"""WITH cl AS (SELECT * FROM ${ClientsFixture.sqlValues})
+        SELECT * FROM (${rows.mkString(" UNION ALL ")}) ORDER BY lvl"""
+  }
+
   private def f16bSql: String = {
     import graft.ops.SemanticTypes
     val fixture = subRuleFixture.map { case (i, t, v) =>
@@ -1008,6 +1096,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "d1_criteria_all" -> ((s, _) => {
+      import graft.ops.Diagnostic
+      Diagnostic.findings(ClientsFixture.df(s), clientsChainSpec, Diagnostic.All)
+        .orderBy(col("colonne"), col("anomalie"), col("id_ligne"))
+    }),
+
+    "d2_criteria_levels" -> ((s, _) => {
+      import graft.ops.Diagnostic
+      Diagnostic.levelCounts(ClientsFixture.df(s), clientsChainSpec)
+    }),
+
     "s11_snapshot_timetravel" -> ((s, dir) => {
       import graft.io.SnapshotTable
       val root = java.nio.file.Files.createTempDirectory("graft_s11").toString
@@ -1485,6 +1584,10 @@ object SparkEntry {
     "ann3b_neardup_exact" -> "SELECT true AS exact_match",
 
     "dd3_simhash_exact" -> "SELECT true AS exact_match",
+
+    "d1_criteria_all" -> d1Sql,
+
+    "d2_criteria_levels" -> d2Sql,
 
     "ts2_fingerprint" ->
       """SELECT doc_id, true AS stable FROM documents
