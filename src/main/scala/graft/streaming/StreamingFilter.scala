@@ -1,10 +1,36 @@
 package graft.streaming
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.pipeline.{QualityFilter, SkewSplit}
-import graft.schema.Turn
+import graft.rules.RuleConfig
+import graft.schema.{ScoredTurn, Turn}
+
+/** Per-conversation streaming state: the O(1)-ish summary the
+  * conversation rules need — last seen turn index/timestamp, the
+  * norm-hashes seen so far (capped), and the language vote counts.
+  */
+final case class ConvState(
+    prevIdx: Int,
+    prevTs: Option[Long],
+    hashes: Seq[Long],
+    cnts: Map[String, Int],
+    started: Boolean)
+
+/** A scored turn + the conversation-state columns the shared rule
+  * evaluator (SkewSplit.finishLabeling) consumes.
+  */
+final case class StatefulScoredTurn(
+    conv_id: String, turn_idx: Int, role: String, text: String, tool: String,
+    ts: Timestamp, lang: String, lang_conf: Double, ppl: Double,
+    norm_len: Int, norm_hash: Long, is_empty: Boolean,
+    sym_density: Double, rep_ratio: Double,
+    is_first: Boolean, prev_idx: Option[Int], prev_ts: Option[Timestamp],
+    dup_rank: Int, conv_lang: String)
 
 /** Structured Streaming front-end for the quality filter.
   *
@@ -47,4 +73,98 @@ object StreamingFilter {
       .groupBy(window(col("ts"), "5 minutes"), col("keep"))
       .agg(count(lit(1)).as("n_turns"),
         sum(size(col("drop_reasons"))).as("n_reasons"))
+
+  /** Cap on remembered norm-hashes per conversation: a conversation
+    * with more distinct texts than this stops gaining new dedup
+    * coverage (bounded state is non-negotiable at 10^12-turn scale).
+    */
+  val DedupStateCap = 8192
+
+  /** STATEFUL streaming labeling: the conversation-scoped rules
+    * (contiguity, ts-regression, in-conversation dedup, language vote)
+    * evaluated with flatMapGroupsWithState keyed by conv_id — the
+    * north-star's "KeyValueGroupedDataset.flatMapGroupsWithState for
+    * custom state".
+    *
+    * Semantics are the batch rules under PREFIX state: each turn sees
+    * the conversation as accumulated so far (dup = hash seen before;
+    * vote = counts up to and including this turn; prev = last turn
+    * processed). A whole-conversation batch run remains the authority —
+    * on an in-order, complete stream the two agree except for the vote
+    * on early turns of mixed-language conversations (StreamingSpec
+    * pins the equivalence on in-order input). Out-of-order WITHIN a
+    * micro-batch is handled (rows are processed in turn_idx order);
+    * across micro-batches the contiguity rule flags regressions, as a
+    * quality filter should.
+    *
+    * State is expired `stateTtl` past the event-time watermark
+    * (`watermarkDelay`), so idle conversations stop occupying the
+    * state store.
+    */
+  def statefulLabel(stream: Dataset[Turn],
+                    watermarkDelay: String = "10 minutes",
+                    stateTtl: String = "1 hour"): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val langs = graft.lang.LangId.default.langs.toSeq.sorted
+    val ttlMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(stateTtl))
+    // watermark AFTER the scoring pass: the object-level mapPartitions
+    // re-creates the ts attribute, which would drop the event-time
+    // watermark tag the stateful operator requires
+    val scored = QualityFilter.score(stream)
+      .withWatermark("ts", watermarkDelay).as[ScoredTurn]
+
+    def eligible(t: ScoredTurn): Boolean =
+      !t.is_empty && t.norm_len >= RuleConfig.PplMinChars && t.role != "tool"
+
+    val labeled = scored
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (convId: String, rows: Iterator[ScoredTurn], state: GroupState[ConvState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(
+              ConvState(prevIdx = -1, prevTs = None, hashes = Nil, cnts = Map.empty,
+                started = false))
+            val seen = scala.collection.mutable.LinkedHashSet.from(st.hashes)
+            val cnts = scala.collection.mutable.Map.from(st.cnts)
+            val out = rows.toArray.sortBy(_.turn_idx).iterator.map { t =>
+              val isFirst = !st.started
+              val dupRank =
+                if (t.is_empty) 1
+                else if (seen.contains(t.norm_hash)) 2
+                else { if (seen.size < DedupStateCap) seen.add(t.norm_hash); 1 }
+              if (eligible(t) && langs.contains(t.lang))
+                cnts.update(t.lang, cnts.getOrElse(t.lang, 0) + 1)
+              val convLang =
+                if (cnts.isEmpty) "und"
+                else { val m = cnts.values.max; langs.find(l => cnts.getOrElse(l, 0) == m).get }
+              val row = StatefulScoredTurn(
+                t.conv_id, t.turn_idx, t.role, t.text, t.tool, t.ts,
+                t.lang, t.lang_conf, t.ppl, t.norm_len, t.norm_hash, t.is_empty,
+                t.sym_density, t.rep_ratio,
+                is_first = isFirst,
+                prev_idx = if (isFirst) None else Some(st.prevIdx),
+                prev_ts = if (isFirst) None else st.prevTs.map(new Timestamp(_)),
+                dup_rank = dupRank,
+                conv_lang = convLang)
+              st = ConvState(t.turn_idx, Option(t.ts).map(_.getTime),
+                st.hashes, st.cnts, started = true)
+              row
+            }.toArray
+            state.update(ConvState(st.prevIdx, st.prevTs, seen.toSeq, cnts.toMap,
+              started = true))
+            // expire the conversation stateTtl past the current watermark
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs(), 0L) +
+                org.apache.spark.sql.catalyst.util.IntervalUtils.getDuration(
+                  ttlMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+            out.iterator
+          }
+        })
+    SkewSplit.finishLabeling(labeled.toDF())
+  }
 }

@@ -51,6 +51,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(4)._4.contains("perplexity"))
   }
 
+  test("stateful labels (flatMapGroupsWithState) == batch labels across micro-batches") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // conversation rules exercised: duplicate text (c-1), turn-index gap
+    // (c-2), timestamp regression (c-3), first-turn offset (c-4);
+    // single-language conversations so the prefix vote equals the batch
+    // whole-conversation vote
+    val turns = Seq(
+      Turn("c-1", 0, "user", "the quarterly report is ready for your review today", null, ts(0)),
+      Turn("c-1", 1, "assistant", "thanks for the update on the quarterly report", null, ts(1)),
+      Turn("c-1", 2, "user", "the quarterly report is ready for your review today", null, ts(2)), // dup of turn 0
+      Turn("c-2", 0, "user", "could you summarize the meeting notes from tuesday", null, ts(0)),
+      Turn("c-2", 2, "assistant", "here is the summary of the meeting notes", null, ts(1)), // gap
+      Turn("c-3", 0, "user", "let us schedule the next planning session soon", null, ts(5)),
+      Turn("c-3", 1, "assistant", "the planning session works for me on friday", null, ts(3)), // ts regress
+      Turn("c-4", 5, "user", "this conversation starts at index five somehow", null, ts(0))) // first != 0
+
+    val input = MemoryStream[Turn]
+    val labeled = StreamingFilter.statefulLabel(input.toDS())
+    val q = labeled.writeStream.format("memory")
+      .queryName("graft_stream_stateful").outputMode("append").start()
+    // split MID-conversation: state must carry across micro-batches
+    input.addData(turns.take(4): _*)
+    q.processAllAvailable()
+    input.addData(turns.drop(4): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("graft_stream_stateful")
+      .select("conv_id", "turn_idx", "keep", "drop_reasons", "scrubbed_text")
+      .as[(String, Int, Boolean, Seq[String], String)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    val batch = graft.pipeline.QualityFilter.label(spark.createDataset(turns))
+      .select("conv_id", "turn_idx", "keep", "drop_reasons", "scrubbed_text")
+      .as[(String, Int, Boolean, Seq[String], String)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got.map(r => r.copy(_4 = r._4.toList)) == batch.map(r => r.copy(_4 = r._4.toList)),
+      s"stateful stream diverged:\n got=$got\n exp=$batch")
+    // the interesting rules actually fired
+    val reasons = got.flatMap(_._4).toSet
+    assert(reasons.contains("duplicate_turn") || reasons.exists(_.contains("dup")),
+      s"reasons: $reasons")
+    assert(got.count(!_._3) >= 3, s"expected several drops: $got")
+  }
+
   test("windowed metrics stream with watermark") {
     val spark = TestSpark.spark
     import spark.implicits._
