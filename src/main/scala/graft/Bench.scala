@@ -209,7 +209,8 @@ object Bench {
     val tpsLow = nTurns / low
     val tpsHigh = nTurns / high
 
-    val total = queries.map(_._2).sum + low + high
+    // -1 sentinels mark failures; they must not subtract from the total
+    val total = queries.map(_._2).filter(_ >= 0).sum + low + high
     val qs = queries.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val pairsJson = measured.map { case (a, b) =>
       f"""{"secs_n":$a%.3f,"secs_4n":$b%.3f,"eff":${a / b / 4.0}%.3f}""" }

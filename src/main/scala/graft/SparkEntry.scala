@@ -28,9 +28,11 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     QualityFilter.label(TranscriptGen.generate(spark, 200, seed = 42L, skewCap = 500))
 
-  // Sentinel list shared with the f1 oracle below.
-  private val sentinelsSql = "('', '-', '?', '!', '=', 'nan', 'NULL', 'MISSINGVALUE')"
-  private val sentinels = Seq("", "-", "?", "!", "=", "nan", "NULL", "MISSINGVALUE")
+  // Sentinel lists — single source: RuleConfig.Sentinels (via
+  // ReferenceCorrections), rendered for both the queries and the oracles.
+  private val sentinels = graft.ops.ReferenceCorrections.MissingSentinels
+  private val sentinelsSql =
+    sentinels.map(s => "'" + s.replace("'", "''") + "'").mkString("(", ", ", ")")
 
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val phoneRe = "\\+?[0-9](?:[0-9()\\-. ]{6,14})[0-9]"
@@ -94,10 +96,10 @@ object SparkEntry {
     vals.distinct.map(sqlQuote).mkString("(", ", ", ")")
 
   private val missingSentinelsSqlList =
-    inList(Seq("", "-", "?", "!", "=", "nan", "NULL", "MISSINGVALUE"))
+    inList(graft.ops.ReferenceCorrections.MissingSentinels)
 
   private val nullSentinelsSqlList =
-    inList(Seq("", "-", "?", "!", "=", "nan", "NULL", "MISSINGVALUE", " -", "- "))
+    inList(graft.ops.ReferenceCorrections.NullSentinels)
 
   private def notInDictSql(c: String, vals: Seq[String]): String =
     s"$c IS NOT NULL AND upper($c) NOT IN ${inList(vals.map(_.toUpperCase))}"
@@ -255,6 +257,7 @@ object SparkEntry {
       case "pays" => s"(${notInDictSql(c, frCountryNames)})"
       case "ville" => s"(${notInDictSql(c, frCityNames)})"
       case "civilite" => s"(${notInDictSql(c, FactDictionaries.civilities)})"
+      case "groupe_sanguin" => s"(${notInDictSql(c, FactDictionaries.bloodGroups)})"
       case _ => "FALSE"
     }
     val sums = clientsChainSpec.types.map { case (c, t) =>
@@ -676,7 +679,11 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
         .where(col("text").isNotNull && length(trim(col("text"))) > 0)
         .select(col("doc_id"), sim_hash(col("text")).as("sig"))
-      val lsh = Dedup.simHashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 8)
+      // cap disabled: this query asserts EXACT pigeonhole recall, and
+      // with 9 chunks the 7-8-bit chunk key space is small enough that
+      // legitimate buckets can exceed a production cap
+      val lsh = Dedup.simHashPairs(t(s, dir, "documents"), "text", "doc_id",
+          maxHamming = 8, maxBucket = Int.MaxValue)
         .select(col("id_a"), col("id_b"))
       val brute = docs.as("l").crossJoin(docs.as("r"))
         .where(col("l.doc_id") < col("r.doc_id") &&

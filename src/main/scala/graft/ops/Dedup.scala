@@ -120,6 +120,13 @@ object Dedup {
     * the requested radius (round 1 fixed 4 chunks, which only
     * guarantees distance ≤ 3). Signatures ride the bucket shuffle as a
     * struct (16 bytes/row) so the Hamming verify needs no join-back.
+    *
+    * Recall is exact ONLY while no (chunk, key) bucket exceeds
+    * `maxBucket`: larger maxHamming narrows the chunks (9 chunks →
+    * 7-8-bit keys), making hot buckets likelier, and a truncated bucket
+    * drops the pairs whose only shared chunk it was (truncations are
+    * surfaced via the observed `dd3_buckets` metrics). Pass
+    * Int.MaxValue when exactness matters more than the skew bound.
     */
   def simHashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {

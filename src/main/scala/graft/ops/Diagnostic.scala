@@ -37,8 +37,7 @@ object Diagnostic {
   val levels: Seq[Level] =
     Seq(ValManq, ValManqContraints, ValManqContraintsFn, ValManqContraintsFnDup, All)
 
-  private val MissingSentinels =
-    Seq("", "-", "?", "!", "=", "nan", "NULL", "MISSINGVALUE")
+  private val MissingSentinels = ReferenceCorrections.MissingSentinels
 
   /** Reference general-constraint regexes (data_types.json:3-17). The
     * letter-repetition rule is `([a-zA-Z])\1{2,}` — a backreference the
@@ -152,12 +151,19 @@ object Diagnostic {
     // reference (utils.py:651-659, functions.sql:1423-1447)
     val colLevel = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     if (level.rank >= 3) {
-      spec.types.collect { case (c, t) if t != "integer" => c }.foreach { cName =>
-        val row = df.where(col(cName).isNotNull).agg(
-          avg(col(cName).contains(" ").cast("double")).as("space_rate"),
-          avg(size(split(col(cName), " "))).as("avg_tokens")).head()
-        if (!row.isNullAt(0) && row.getDouble(0) > 0.5 && row.getDouble(1) <= 3.0)
-          colLevel += ((cName, "NON_1FN_MULTITOKEN"))
+      // all per-column gates in ONE aggregation pass (avg ignores the
+      // nulls the per-column WHERE would have filtered)
+      val strCols = spec.types.collect { case (c, t) if t != "integer" => c }
+      val aggs = strCols.flatMap { c => Seq(
+        avg(when(col(c).isNotNull, col(c).contains(" ").cast("double"))).as(s"__sr_$c"),
+        avg(when(col(c).isNotNull, size(split(col(c), " ")).cast("double"))).as(s"__at_$c"))
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      strCols.foreach { c =>
+        val srI = row.fieldIndex(s"__sr_$c")
+        val atI = row.fieldIndex(s"__at_$c")
+        if (!row.isNullAt(srI) && row.getDouble(srI) > 0.5 && row.getDouble(atI) <= 3.0)
+          colLevel += ((c, "NON_1FN_MULTITOKEN"))
       }
     }
     if (level.rank >= 5) {

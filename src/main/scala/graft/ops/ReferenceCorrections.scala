@@ -36,11 +36,16 @@ object ReferenceCorrections {
     */
   final case class ChainSpec(idCol: String, types: Seq[(String, String)])
 
-  // VALEUR_NULL targets: the missing-value sentinel list
-  // (functions.sql:1541-1544) plus the correction's own IN-list
-  // (utils.py:1446-1449).
-  private val NullSentinels =
-    Seq("", "-", "?", "!", "=", "nan", "NULL", "MISSINGVALUE", " -", "- ")
+  /** The missing-value sentinel list (functions.sql:1541-1544) — the
+    * single source is RuleConfig.Sentinels.
+    */
+  val MissingSentinels: Seq[String] =
+    graft.rules.RuleConfig.Sentinels.toSeq.sorted
+
+  /** VALEUR_NULL correction targets: the missing sentinels plus the
+    * correction's own IN-list (utils.py:1446-1449).
+    */
+  val NullSentinels: Seq[String] = MissingSentinels ++ Seq(" -", "- ")
 
   private def stringCols(spec: ChainSpec): Seq[String] =
     spec.types.collect { case (c, t) if t != "integer" => c }
@@ -169,8 +174,6 @@ object ReferenceCorrections {
 
   // ---------------------------------------------------- quality score
 
-  private val MissingSentinels =
-    Seq("", "-", "?", "!", "=", "nan", "NULL", "MISSINGVALUE")
 
   /** Per-column anomaly predicate for the score: the semantic-type
     * violation matching the column's detected type. `date`, `unknown`

@@ -16,7 +16,7 @@ import graft.schema.{ScoredTurn, Turn}
   */
 final case class ConvState(
     prevIdx: Int,
-    prevTs: Option[Long],
+    prevTsMicros: Option[Long],
     hashes: Seq[Long],
     cnts: Map[String, Int],
     started: Boolean)
@@ -127,11 +127,22 @@ object StreamingFilter {
             Iterator.empty
           } else {
             var st = state.getOption.getOrElse(
-              ConvState(prevIdx = -1, prevTs = None, hashes = Nil, cnts = Map.empty,
-                started = false))
+              ConvState(prevIdx = -1, prevTsMicros = None, hashes = Nil,
+                cnts = Map.empty, started = false))
             val seen = scala.collection.mutable.LinkedHashSet.from(st.hashes)
             val cnts = scala.collection.mutable.Map.from(st.cnts)
+            // micros, not millis: batch lag(ts) compares full timestamp
+            // precision, so RuleTsRegress parity needs it preserved
+            def toMicros(ts: Timestamp): Long =
+              ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+            def fromMicros(us: Long): Timestamp = {
+              val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+              t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+              t
+            }
+            var maxEventMs = 0L
             val out = rows.toArray.sortBy(_.turn_idx).iterator.map { t =>
+              if (t.ts != null) maxEventMs = math.max(maxEventMs, t.ts.getTime)
               val isFirst = !st.started
               val dupRank =
                 if (t.is_empty) 1
@@ -148,18 +159,25 @@ object StreamingFilter {
                 t.sym_density, t.rep_ratio,
                 is_first = isFirst,
                 prev_idx = if (isFirst) None else Some(st.prevIdx),
-                prev_ts = if (isFirst) None else st.prevTs.map(new Timestamp(_)),
+                prev_ts = if (isFirst) None else st.prevTsMicros.map(fromMicros),
                 dup_rank = dupRank,
                 conv_lang = convLang)
-              st = ConvState(t.turn_idx, Option(t.ts).map(_.getTime),
+              st = ConvState(t.turn_idx, Option(t.ts).map(toMicros),
                 st.hashes, st.cnts, started = true)
               row
             }.toArray
-            state.update(ConvState(st.prevIdx, st.prevTs, seen.toSeq, cnts.toMap,
-              started = true))
-            // expire the conversation stateTtl past the current watermark
-            state.setTimeoutTimestamp(
-              math.max(state.getCurrentWatermarkMs(), 0L) +
+            state.update(ConvState(st.prevIdx, st.prevTsMicros, seen.toSeq,
+              cnts.toMap, started = true))
+            // expire the conversation stateTtl past the event-time clock.
+            // The watermark visible DURING a batch lags one batch behind —
+            // it is 0 for the whole first micro-batch — so anchor on
+            // max(watermark, this batch's own event times): anchoring on
+            // the stale watermark alone set epoch+ttl timeouts that
+            // evicted every first-batch conversation as soon as the
+            // watermark advanced to real time
+            val anchor = math.max(state.getCurrentWatermarkMs(), maxEventMs)
+            if (anchor > 0)
+              state.setTimeoutTimestamp(anchor +
                 org.apache.spark.sql.catalyst.util.IntervalUtils.getDuration(
                   ttlMs, java.util.concurrent.TimeUnit.MILLISECONDS))
             out.iterator
