@@ -1055,8 +1055,9 @@ object SparkEntry {
       val nBrute = brute.count()
       val hit = lsh.join(brute, Seq("qid", "nid"), "left_semi").count()
       val nq = queries.count()
-      s.createDataFrame(Seq((nq, nBrute > 0 && hit.toDouble / nBrute >= 0.8)))
-        .toDF("n_queries", "recall_ok")
+      s.createDataFrame(Seq((nq, corpus.count(),
+          nBrute > 0 && hit.toDouble / nBrute >= 0.8)))
+        .toDF("n_queries", "n_corpus", "recall_ok")
     }),
 
     "ann4b_ivf_recall" -> ((s, dir) => {
@@ -1068,8 +1069,9 @@ object SparkEntry {
       val nBrute = brute.count()
       val hit = ivf.join(brute, Seq("qid", "nid"), "left_semi").count()
       val nq = queries.count()
-      s.createDataFrame(Seq((nq, nBrute > 0 && hit.toDouble / nBrute >= 0.8)))
-        .toDF("n_queries", "recall_ok")
+      s.createDataFrame(Seq((nq, corpus.count(),
+          nBrute > 0 && hit.toDouble / nBrute >= 0.8)))
+        .toDF("n_queries", "n_corpus", "recall_ok")
     }),
 
     "ann3b_neardup_exact" -> ((s, dir) => {
@@ -1581,11 +1583,13 @@ object SparkEntry {
     // the LSH/IVF side is not SQL-expressible, but a recall regression
     // flips the bit and fails the hash compare
     "ann2b_lsh_recall" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(6 * count(*) AS BIGINT) AS n_corpus, true AS recall_ok
          FROM embeddings WHERE vec_id < 20""",
 
     "ann4b_ivf_recall" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(6 * count(*) AS BIGINT) AS n_corpus, true AS recall_ok
          FROM embeddings WHERE vec_id < 20""",
 
     "ann3b_neardup_exact" -> "SELECT true AS exact_match",
