@@ -50,7 +50,10 @@ object Corrections {
       max(when(!(col(a) <=> col(b)), 1).otherwise(0)).as(s"${a}__$b")
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    pairs.zipWithIndex.collect { case ((a, b), i) if row.getInt(i) == 0 => (a, b) }
+    // max over an EMPTY frame is null: no rows → no duplicate evidence
+    pairs.zipWithIndex.collect {
+      case ((a, b), i) if !row.isNullAt(i) && row.getInt(i) == 0 => (a, b)
+    }
   }
 
   /** C15: 1NF column splitter gate (utils.py:651-659): split only when

@@ -117,6 +117,51 @@ class ReferenceParitySpec extends AnyFunSuite {
     assert(math.abs(score - 62.5) < 1e-9, s"score $score")
   }
 
+  test("correction chain on degenerate frames: all-null, all-sentinel, empty") {
+    import spark.implicits._
+    val spec = ReferenceCorrections.ChainSpec("rid", Seq(
+      "p" -> "pays", "v" -> "ville", "cv" -> "civilite", "m" -> "email",
+      "u" -> "unknown", "n" -> "integer"))
+    def chain(df: org.apache.spark.sql.DataFrame) =
+      ReferenceCorrections.applyChain(df, spec,
+        FactDictionaries.countriesDf(spark), FactDictionaries.citiesDf(spark),
+        FactDictionaries.civilitiesDf(spark), FactDictionaries.bloodGroupsDf(spark))
+
+    // all-null string columns: suggestion joins see zero anomalies,
+    // homogenizers pass nulls through (distinct n values — identical
+    // rows would legitimately be deleted as DOUBLONS)
+    val allNull = Seq(
+      (1, Option.empty[String], Option.empty[String], Option.empty[String],
+        Option.empty[String], Option.empty[String], 5),
+      (2, None, None, None, None, None, 7))
+      .toDF("rid", "p", "v", "cv", "m", "u", "n")
+    val outNull = chain(allNull).collect()
+    assert(outNull.length == 2)
+    assert(outNull.forall(r => (1 to 5).forall(r.isNullAt)))
+    assert(outNull.map(_.getInt(6)).sorted.toSeq == Seq(5, 7)) // within IQR bounds
+    // and identical all-null rows ARE full-row duplicates: keep-first
+    val dupped = chain(allNull.withColumn("n", lit(5))).collect()
+    assert(dupped.length == 1 && dupped.head.getInt(0) == 1)
+
+    // all-sentinel values null out before any dictionary logic runs
+    val sentinelFrame = Seq((1, "-", "?", "nan", "NULL", "", 3))
+      .toDF("rid", "p", "v", "cv", "m", "u", "n")
+    val outSent = chain(sentinelFrame).head()
+    assert((1 to 5).forall(outSent.isNullAt), s"got $outSent")
+
+    // empty frame: chain is a no-op, schema preserved
+    val empty = allNull.where(lit(false))
+    val outEmpty = chain(empty)
+    assert(outEmpty.count() == 0)
+    assert(outEmpty.columns.toSeq == Seq("rid", "p", "v", "cv", "m", "u", "n"))
+
+    // diagnostic on the degenerate frames completes at every level
+    graft.ops.Diagnostic.levels.foreach { l =>
+      assert(graft.ops.Diagnostic.findings(sentinelFrame, spec, l).count() >= 5)
+      assert(graft.ops.Diagnostic.findings(empty, spec, l).count() == 0)
+    }
+  }
+
   test("date reformat tries the 14 reference formats in order (utils.py:1323-1348)") {
     import spark.implicits._
     val got = Seq("17-06-1951", "06-17-1951", "Jun 17, 1951", "31-02-2020")
