@@ -74,6 +74,64 @@ object Multimodal {
     ds.mapPartitions { it => it.map(decoder.decode) }
   }
 
+  final case class FrameRow(
+      media_id: Long,
+      frame_idx: Int,
+      width: Int,
+      height: Int,
+      payload: Array[Byte])
+
+  /** The resize seam (production: an image library's scaler). The stub
+    * deterministically downsamples the payload bytes to the target
+    * pixel budget so the plumbing (schema, per-partition transform,
+    * metadata rewrite) is exercised for real.
+    */
+  trait MediaResizer extends Serializable {
+    def resize(row: MediaRow, w: Int, h: Int): MediaRow
+  }
+
+  object FakeResizer extends MediaResizer {
+    def resize(row: MediaRow, w: Int, h: Int): MediaRow = {
+      val src = if (row.payload == null) Array.emptyByteArray else row.payload
+      val n = math.max(1, math.min(src.length, w * h / 16))
+      val out = new Array[Byte](n)
+      var i = 0
+      while (i < n) { out(i) = src((i.toLong * src.length / n).toInt); i += 1 }
+      row.copy(width = w, height = h, payload = out)
+    }
+  }
+
+  /** Distributed resize: one resizer per partition, metadata rewritten
+    * with the payload.
+    */
+  def resize(ds: Dataset[MediaRow], w: Int, h: Int,
+             resizer: MediaResizer = FakeResizer): Dataset[MediaRow] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+    ds.mapPartitions(_.map(resizer.resize(_, w, h)))
+  }
+
+  /** Frame sampling: video payloads explode into every-`stride`-th
+    * frame (stub frames = fixed-width byte windows — a real decoder
+    * drops in behind the same flatMap shape); non-video rows pass
+    * through as their single frame 0. One input row fans out to
+    * many output rows WITHOUT any driver involvement or shuffle.
+    */
+  def frameSample(ds: Dataset[MediaRow], stride: Int,
+                  frameBytes: Int = 32): Dataset[FrameRow] = {
+    require(stride >= 1)
+    implicit val enc = org.apache.spark.sql.Encoders.product[FrameRow]
+    ds.mapPartitions(_.flatMap { row =>
+      val bytes = if (row.payload == null) Array.emptyByteArray else row.payload
+      if (row.mime != null && row.mime.startsWith("video/")) {
+        val nFrames = math.max(1, bytes.length / frameBytes)
+        (0 until nFrames by stride).iterator.map { f =>
+          FrameRow(row.media_id, f, row.width, row.height,
+            bytes.slice(f * frameBytes, math.min((f + 1) * frameBytes, bytes.length)))
+        }
+      } else Iterator.single(FrameRow(row.media_id, 0, row.width, row.height, bytes))
+    })
+  }
+
   /** Synthesize a deterministic media table from any id column — the
     * sandbox stand-in for reading a real binary-column table.
     */

@@ -108,5 +108,27 @@ class Ops2Spec extends AnyFunSuite {
     // mime typing from metadata
     assert(feats.map(_.mime).distinct.sorted.toSeq ==
       Seq("audio/wav", "image/png", "video/mp4"))
+
+    // resize: metadata + payload budget rewritten, deterministic
+    val resized = Multimodal.resize(media, 32, 32).collect().sortBy(_.media_id)
+    assert(resized.forall(r => r.width == 32 && r.height == 32))
+    assert(resized.forall(r => r.payload.length <= 32 * 32 / 16))
+    val resized2 = Multimodal.resize(media.repartition(5), 32, 32)
+      .collect().sortBy(_.media_id)
+    assert(resized.map(_.payload.toSeq).toSeq == resized2.map(_.payload.toSeq).toSeq)
+
+    // frame sampling: videos fan out to every-2nd frame, others pass
+    // through as frame 0; no shuffle, no driver loop
+    val frames = Multimodal.frameSample(media, stride = 2, frameBytes = 8).collect()
+    val byMedia = frames.groupBy(_.media_id)
+    val videos = media.collect().filter(_.mime == "video/mp4").map(_.media_id).toSet
+    assert(videos.nonEmpty)
+    videos.foreach { id =>
+      val fs = byMedia(id).map(_.frame_idx).sorted
+      assert(fs.head == 0 && fs.forall(_ % 2 == 0), s"video $id frames: ${fs.toSeq}")
+      assert(fs.length > 1, s"video $id should sample multiple frames")
+    }
+    byMedia.filterNot(kv => videos(kv._1)).values
+      .foreach(fs => assert(fs.map(_.frame_idx).toSeq == Seq(0)))
   }
 }
