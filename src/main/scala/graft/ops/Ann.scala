@@ -60,11 +60,20 @@ object Ann {
     * the fattest column ×tables through the exchange. Vectors are
     * joined back after candidate-pair dedup (query side broadcast —
     * the query batch is small by construction).
+    *
+    * Hot buckets are capped on the CORPUS side at `maxBucket` ids (the
+    * same cap/observe pattern as [[Dedup.lshBucketPairs]]): a
+    * degenerate bucket (zero-ish vectors hashing alike) would otherwise
+    * inflate the candidate set for every query landing in it. The kept
+    * ids are the sorted-prefix sample; truncation is surfaced via the
+    * observed `ann2_capped_buckets`/`ann2_dropped_ids` metrics and
+    * costs recall only inside degenerate buckets (other tables still
+    * route the query to its true neighbors).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
               tables: Int = 8, bits: Int = 12, seed: Long = 42L,
-              roundTo: Int = 4): DataFrame = {
+              roundTo: Int = 4, maxBucket: Int = 4096): DataFrame = {
     import graft.functions.GraftExpressions.srp_sig
     // posexplode input deliberately NOT a bare attribute: Spark's
     // InferFiltersFromGenerate infers size(attr)>0/isnotnull(attr) which
@@ -78,7 +87,18 @@ object Ann {
       .select(col(outId), posexplode(slice(col("sig"), 1, tables)))
       .select(col(outId), col("pos").as("tbl"), col("col").as("bucket"))
 
-    val cand = keys(queries, "qid").join(keys(corpus, "nid"), Seq("tbl", "bucket"))
+    val corpusKeys = keys(corpus, "nid")
+      .groupBy(col("tbl"), col("bucket"))
+      .agg(sort_array(collect_list(col("nid"))).as("ids"))
+      .observe("ann2_buckets",
+        sum(when(size(col("ids")) > maxBucket, 1).otherwise(0)).as("ann2_capped_buckets"),
+        sum(when(size(col("ids")) > maxBucket, size(col("ids")) - maxBucket)
+          .otherwise(0)).as("ann2_dropped_ids"))
+      .select(col("tbl"), col("bucket"),
+        explode(when(size(col("ids")) > maxBucket, slice(col("ids"), 1, maxBucket))
+          .otherwise(col("ids"))).as("nid"))
+
+    val cand = keys(queries, "qid").join(corpusKeys, Seq("tbl", "bucket"))
       .where(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"))
       .dropDuplicates("qid", "nid")
@@ -94,6 +114,41 @@ object Ann {
       .select(col("qid"), col("nid"), col("sim"))
   }
 
+  /** Squared L2 distance to every centroid; returns cell indices sorted
+    * by (distance, index) — deterministic tie-break, shared by train /
+    * assign / probe so all three agree bit-for-bit.
+    */
+  private def cellsByDistance(cs: Array[Array[Double]], v: Array[Float]): Array[Int] = {
+    val ds = new Array[(Double, Int)](cs.length)
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0
+      var i = 0
+      while (i < v.length) {
+        val diff = v(i) - cs(c)(i); d += diff * diff; i += 1
+      }
+      ds(c) = (d, c)
+      c += 1
+    }
+    ds.sorted.map(_._2)
+  }
+
+  private def nearestCell(cs: Array[Array[Double]], v: Array[Float]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0
+      var i = 0
+      while (i < v.length) {
+        val diff = v(i) - cs(c)(i); d += diff * diff; i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** IVF (inverted-file) ANN: k-means coarse quantizer trained with a
     * FIXED number of Lloyd iterations from deterministic seeded
     * centroids (splitmix-picked sample rows — no randomness at run
@@ -103,6 +158,8 @@ object Ann {
     *
     * Scale shape: training = `iters` aggregations of (cell, sum-vec,
     * count) — partial-agg'd; search shuffles only (cell, id) pairs.
+    * Assignment/probe run as typed mapPartitions over primitive float
+    * arrays (the round-2 per-row `udf` boxed a Seq[Float] per call).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
@@ -121,64 +178,54 @@ object Ann {
       .select(col("v")).as[Array[Float]].collect()
       .map(_.map(_.toDouble))
 
-    def nearestCell(cs: Array[Array[Double]])(v: Array[Float]): Int = {
-      var best = 0
-      var bestD = Double.MaxValue
-      var c = 0
-      while (c < cs.length) {
-        var d = 0.0
-        var i = 0
-        while (i < v.length) {
-          val diff = v(i) - cs(c)(i); d += diff * diff; i += 1
-        }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
-
-    // Lloyd iterations as aggregations: per-(cell, dim) FIXED-POINT long
-    // sums (integer addition is order-independent → bit-deterministic
-    // under any partitioning) with map-side partial aggregation; only
-    // nCells × dim tiny rows reach the driver.
+    // Lloyd iterations as aggregations: per-(cell, dim) FIXED-POINT sums
+    // (integer addition is order-independent → bit-deterministic under
+    // any partitioning) accumulated as decimal(38,0) — long sums would
+    // overflow at ~5×10^8 rows/cell with 2^24 scaling; decimal partial
+    // aggregation keeps exactness to ~10^21 rows/cell. Map-side combine
+    // applies; only nCells × dim tiny rows reach the driver.
     val Fixed = 1L << 24
     (0 until iters).foreach { _ =>
       val bc = spark.sparkContext.broadcast(centroids)
-      val assignCell = udf((v: Seq[Float]) => nearestCell(bc.value)(v.toArray))
-      val sums = corpus
-        .select(assignCell(col(vecCol)).as("cell"), posexplode(col(vecCol)))
-        .select(col("cell"), col("pos"),
-          (col("col").cast("double") * Fixed).cast("long").as("fx"))
+      val sums = vecs
+        .mapPartitions { it =>
+          val cs = bc.value
+          it.flatMap { case (_, v) =>
+            val cell = nearestCell(cs, v)
+            Iterator.tabulate(v.length)(pos =>
+              (cell, pos, (v(pos).toDouble * Fixed).toLong))
+          }
+        }
+        .toDF("cell", "pos", "fx")
         .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("fx")).as("s"), count(lit(1)).as("n"))
+        .agg(sum(col("fx").cast("decimal(38,0)")).as("s"), count(lit(1)).as("n"))
         .collect()
       val next = centroids.map(_.clone())
       sums.foreach { r =>
         val cell = r.getInt(0); val pos = r.getInt(1)
-        next(cell)(pos) = r.getLong(2).toDouble / Fixed / r.getLong(3)
+        next(cell)(pos) =
+          r.getDecimal(2).toBigInteger.doubleValue() / Fixed / r.getLong(3)
       }
       centroids = next
     }
 
     val bc = spark.sparkContext.broadcast(centroids)
-    val assignUdf = udf((v: Seq[Float]) => nearestCell(bc.value)(v.toArray))
-    val probeUdf = udf((v: Seq[Float]) => {
-      val arr = v.toArray
-      val ds = bc.value.indices.map { c =>
-        var d = 0.0
-        var i = 0
-        while (i < arr.length) {
-          val diff = arr(i) - bc.value(c)(i); d += diff * diff; i += 1
-        }
-        (d, c)
+    val cells = corpus.select(col(idCol).cast("long").as("nid"), col(vecCol).as("nvec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) => (id, v, nearestCell(cs, v)) }
       }
-      ds.sorted.take(nProbe).map(_._2)
-    })
-
-    val cells = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
-      .withColumn("cell", assignUdf(col("nvec")))
-    val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
-      .withColumn("cell", explode(probeUdf(col("qvec"))))
+      .toDF("nid", "nvec", "cell")
+    val probes = queries.select(col(idCol).cast("long").as("qid"), col(vecCol).as("qvec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (id, v) =>
+          cellsByDistance(cs, v).take(nProbe).iterator.map(c => (id, v, c))
+        }
+      }
+      .toDF("qid", "qvec", "cell")
 
     val scored = probes.join(cells, Seq("cell"))
       .where(col("nid") =!= col("qid"))

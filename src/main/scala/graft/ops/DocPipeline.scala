@@ -11,11 +11,15 @@ import graft.rules.RuleConfig
   * language-ID + heuristic quality + PII scrub + exact-dup and
   * near-dup flags, one labeled output row per document.
   *
-  * Plan shape: one mapPartitions scoring pass (broadcast models), exact
-  * dedup as a window over (text-hash) — first occurrence survives —
-  * and near-dup candidates from the MinHash band join, flagged back via
-  * a left-semi-ish aggregation on doc id. Everything else is codegen'd
-  * columns.
+  * Plan shape: one mapPartitions scoring pass (broadcast models); exact
+  * dedup shuffles ONLY (xxhash64(text), doc_id) — non-first ids per
+  * hash come back as a tiny flag table (the `exactSurvivors` shape,
+  * Dedup.scala), so the full-text rows never ride the dedup exchange;
+  * near-dup ids come from the MinHash band join (also keys-only).
+  * Both flag tables join back on doc_id in ONE left join (they are
+  * unioned first — dup/near-dup id lists are small relative to the
+  * corpus, and AQE broadcasts them when they fit). Everything else is
+  * codegen'd columns.
   */
 object DocPipeline {
 
@@ -27,14 +31,16 @@ object DocPipeline {
       langConfMin: Double = 0.65,
       nearDupThreshold: Double = 0.85)
 
-  def label(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-            cfg: DocConfig = DocConfig()): DataFrame = {
+  /** Stage 1: broadcast-model language-ID + perplexity per document —
+    * the persisted seam the driver's DuckDB oracle re-labels from
+    * (every downstream rule is SQL-expressible; the model scores are
+    * not).
+    */
+  def score(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-
-    // broadcast-model language-ID (same scorer as the transcript path)
     val scorerBc = spark.sparkContext.broadcast(graft.lm.TurnScorer.default)
-    val scored = docs.select(col(idCol).cast("long").as("doc_id"),
+    docs.select(col(idCol).cast("long").as("doc_id"),
         col(textCol).as("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
@@ -45,18 +51,34 @@ object DocPipeline {
           (id, text, lang, conf, ppl)
         }
       }.toDF("doc_id", "text", "lang", "lang_conf", "ppl")
+  }
 
-    // exact-dup rank: first doc id per text hash survives
-    val wHash = org.apache.spark.sql.expressions.Window
-      .partitionBy(xxhash64(col("text"))).orderBy(col("doc_id"))
-    val withDup = scored.withColumn("dup_rank", row_number().over(wHash))
+  /** Duplicate-flag table: doc_ids that are NOT the first (min-id)
+    * occurrence of their exact text. Only (hash, id) flows through the
+    * aggregation — the Dedup.exactSurvivors shape inverted to return
+    * the (small) non-survivor side.
+    */
+  def exactDupIds(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val keyed = docs.select(xxhash64(col(textCol)).as("k"), col(idCol).cast("long").as("doc_id"))
+    keyed
+      .withColumn("keep_id", min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("k"))))
+      .where(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"))
+  }
 
-    // near-dup flags from MinHash-LSH pairs: any doc appearing as the
-    // LARGER id of a verified pair is a near-dup of an earlier doc
-    val nearDups = Dedup.minHashPairs(docs.select(col(idCol), col(textCol)).toDF(idCol, textCol),
-        textCol, idCol, threshold = cfg.nearDupThreshold)
-      .select(col("id_b").as("doc_id")).distinct()
-      .withColumn("is_near_dup", lit(true))
+  /** Stage 2: rules + scrub over the scored rows plus the two flag-id
+    * tables. Pure Catalyst columns — mirrored 1:1 by the DuckDB oracle.
+    */
+  def labelScored(scored: DataFrame, exactDups: DataFrame, nearDups: DataFrame,
+                  cfg: DocConfig = DocConfig()): DataFrame = {
+    val flags = exactDups.select(col("doc_id"), lit(true).as("is_exact_dup"),
+        lit(null).cast("boolean").as("is_near_dup"))
+      .unionByName(nearDups.select(col("doc_id"),
+        lit(null).cast("boolean").as("is_exact_dup"), lit(true).as("is_near_dup")))
+      .groupBy(col("doc_id"))
+      .agg(max(col("is_exact_dup")).as("is_exact_dup"),
+        max(col("is_near_dup")).as("is_near_dup"))
 
     val quality = TextStats.qualityScoreCol(col("text"))
     val reasons = array_compact(array(
@@ -66,13 +88,15 @@ object DocPipeline {
       when(quality < cfg.minQuality, lit("low_quality")),
       when(!col("lang").isin(cfg.allowedLangs.toSeq: _*) &&
         col("lang_conf") >= cfg.langConfMin, lit("lang")),
-      when(col("dup_rank") > 1, lit("exact_dup")),
+      when(coalesce(col("is_exact_dup"), lit(false)), lit("exact_dup")),
       when(coalesce(col("is_near_dup"), lit(false)), lit("near_dup"))))
 
     val scrubStruct = graft.functions.GraftExpressions.scrub_all(col("text"))
 
-    withDup
-      .join(nearDups, Seq("doc_id"), "left")
+    scored
+      // flag tables are small by construction (dup/near-dup ids only);
+      // broadcasting keeps the full-text rows out of any join exchange
+      .join(broadcast(flags), Seq("doc_id"), "left")
       .withColumn("drop_reasons", reasons)
       .withColumn("keep", size(col("drop_reasons")) === 0)
       .withColumn("scrubbed_text", scrubStruct.getField("scrubbed_text"))
@@ -83,4 +107,22 @@ object DocPipeline {
         round(col("ppl"), 4).as("ppl"), col("quality"),
         col("fingerprint"), col("scrubbed_text"))
   }
+
+  /** Near-dup-flag table from the MinHash-LSH verified pairs: any doc
+    * appearing as the LARGER id of a pair is a near-dup of an earlier
+    * doc.
+    */
+  def nearDupIds(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                 threshold: Double = DocConfig().nearDupThreshold): DataFrame =
+    Dedup.minHashPairs(docs.select(col(idCol), col(textCol)).toDF(idCol, textCol),
+        textCol, idCol, threshold = threshold)
+      .select(col("id_b").cast("long").as("doc_id")).distinct()
+
+  def label(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+            cfg: DocConfig = DocConfig()): DataFrame =
+    labelScored(
+      score(docs, idCol, textCol),
+      exactDupIds(docs, idCol, textCol),
+      nearDupIds(docs, idCol, textCol, cfg.nearDupThreshold),
+      cfg)
 }

@@ -38,6 +38,11 @@ import graft.scrub.Scrub
   */
 object SkewSplit {
 
+  /** Above this many giant conversations the collected id set stops
+    * being "tiny" and the split falls back to broadcast joins.
+    */
+  private val MaxCollectedGiants = 65536
+
   def label(ds: Dataset[graft.schema.Turn], maxTurns: Int): DataFrame = {
     val spark = ds.sparkSession
     import spark.implicits._
@@ -45,13 +50,39 @@ object SkewSplit {
     // size census on the RAW input: column pruning reduces the scan to
     // conv_id only; the split happens BEFORE model scoring so each row
     // is scored exactly once (scoring after the split would be shared
-    // by census + both branches and recomputed per consumer)
+    // by census + both branches and recomputed per consumer). The census
+    // runs EAGERLY (giant conversations are by definition few, so the
+    // id list fits the driver) and each branch filters with an InSet
+    // literal — the labeled plan carries no join exchange and no
+    // build-side rescan for the split, just the two branch scans.
+    val giantIds = ds.groupBy($"conv_id").agg(count(lit(1)).as("n_turns"))
+      .where($"n_turns" > maxTurns).select($"conv_id")
+      .as[String].collect()
+
+    if (giantIds.isEmpty) return QualityFilter.label(ds)
+    if (giantIds.length > MaxCollectedGiants) return labelViaJoins(ds, maxTurns)
+
+    val inGiants = $"conv_id".isin(giantIds.toSeq: _*)
+    // null conv_id routes to the normal path (mirrors left_anti, which
+    // keeps null keys); isin is null on null input, hence the coalesces
+    val normal = ds.where(coalesce(!inGiants, lit(true)))
+    val giant = ds.where(coalesce(inGiants, lit(false)))
+
+    QualityFilter.labelScored(QualityFilter.score(normal.as[graft.schema.Turn]))
+      .unionByName(labelGiant(QualityFilter.score(giant.as[graft.schema.Turn]), maxTurns))
+  }
+
+  /** Join-based split for the degenerate case of MANY giant
+    * conversations (id set too large to inline): two broadcast joins
+    * against the census output.
+    */
+  private def labelViaJoins(ds: Dataset[graft.schema.Turn], maxTurns: Int): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
     val sizes = ds.groupBy($"conv_id").agg(count(lit(1)).as("n_turns"))
     val giants = sizes.where($"n_turns" > maxTurns).select($"conv_id")
-
     val normal = ds.join(broadcast(giants), Seq("conv_id"), "left_anti")
     val giant = ds.join(broadcast(giants), Seq("conv_id"), "left_semi")
-
     QualityFilter.labelScored(QualityFilter.score(normal.as[graft.schema.Turn]))
       .unionByName(labelGiant(QualityFilter.score(giant.as[graft.schema.Turn]), maxTurns))
   }
