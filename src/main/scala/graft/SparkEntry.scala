@@ -21,6 +21,18 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Fixed on-disk seam for oracle-checked model intermediates: a query
+    * persists its non-SQL-expressible stage (model scores, LSH pairs)
+    * here during Verify, and the corresponding DuckDB oracle reads the
+    * same files to re-derive everything downstream independently. A
+    * fixed absolute path because the oracle SQL is a static string.
+    */
+  private def oracleSeam(name: String): String = s"/tmp/graft_oracle/$name"
+  private def oracleSeamGlob(name: String): String = s"${oracleSeam(name)}/*.parquet"
+
+  private def persistSeam(df: DataFrame, name: String): Unit =
+    df.coalesce(1).write.mode("overwrite").parquet(oracleSeam(name))
+
   /** Flagship: the quality-filter pipeline over a deterministic
     * synthetic transcript corpus (BASELINE.json north_rule). Driver
     * smoke-checks rows > 0.
@@ -905,8 +917,12 @@ object SparkEntry {
     }),
 
     "lid1_langid_docs" -> ((s, dir) => {
-      // broadcast-model language-ID over the documents table (rows-only:
-      // the model is ours, not SQL-expressible)
+      // broadcast-model language-ID over the documents table. The model
+      // itself is not SQL-expressible, but its per-doc output is
+      // persisted through the oracle seam and DuckDB re-derives the
+      // aggregate independently (sum instead of avg: per-row confs are
+      // 4-dp multiples, so the sum is an exact grid point that rounds
+      // identically in both engines).
       import s.implicits._
       val bc = s.sparkContext.broadcast(graft.lang.LangId.default)
       val scored = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -918,8 +934,10 @@ object SparkEntry {
             (id, l, math.round(c * 10000.0) / 10000.0)
           }
         }.toDF("doc_id", "pred_lang", "conf")
-      scored.groupBy(col("pred_lang"))
-        .agg(count(lit(1)).as("n"), round(avg(col("conf")), 4).as("avg_conf"))
+      persistSeam(scored, "lid1_scores")
+      s.read.parquet(oracleSeam("lid1_scores"))
+        .groupBy(col("pred_lang"))
+        .agg(count(lit(1)).as("n"), round(sum(col("conf")), 4).as("sum_conf"))
         .orderBy(col("pred_lang"))
     }),
 
@@ -935,7 +953,20 @@ object SparkEntry {
     }),
 
     "dp1_doc_pipeline" -> ((s, dir) => {
-      graft.ops.DocPipeline.label(t(s, dir, "documents"))
+      // model scores + LSH near-dup ids go through the oracle seam; the
+      // rules layer (windows/CASE/quality formula) is re-derived by
+      // DuckDB over the documents view + the persisted seams
+      import graft.ops.DocPipeline
+      val docs = t(s, dir, "documents")
+      val scored = DocPipeline.score(docs)
+      persistSeam(scored.select(col("doc_id"), col("lang"),
+        col("lang_conf"), col("ppl")), "dp1_scores")
+      persistSeam(DocPipeline.nearDupIds(docs), "dp1_neardups")
+      val scoredBack = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .join(s.read.parquet(oracleSeam("dp1_scores")), Seq("doc_id"))
+      DocPipeline.labelScored(scoredBack,
+          DocPipeline.exactDupIds(docs),
+          s.read.parquet(oracleSeam("dp1_neardups")))
         .select(col("doc_id"), col("keep"),
           concat_ws("|", col("drop_reasons")).as("reasons"),
           col("lang"), col("quality"))
@@ -945,6 +976,25 @@ object SparkEntry {
     // -------------------------------------------------- flagship pipeline
     "qf1_quality_filter" -> ((s, _) => {
       QualityFilter.label(TranscriptGen.generate(s, 500, seed = 42L, skewCap = 2000))
+        .select(col("conv_id"), col("turn_idx"), col("keep"),
+          concat_ws("|", col("drop_reasons")).as("reasons"),
+          col("scrubbed_text"), col("lang"), round(col("ppl"), 4).as("ppl"))
+        .orderBy(col("conv_id"), col("turn_idx"))
+    }),
+
+    "qf1b_rules_oracle" -> ((s, _) => {
+      // The flagship's rules layer, independently re-derived: the
+      // mapPartitions model pass (ScoredTurn) is persisted through the
+      // oracle seam and labeling runs on the READ-BACK rows, so the
+      // DuckDB oracle (graft.oracle.RulesSql: windows + vote + rules +
+      // scrub over the same parquet) checks every decision downstream
+      // of the models by hash. Output shape == qf1.
+      import s.implicits._
+      val scored = QualityFilter.score(
+        TranscriptGen.generate(s, 500, seed = 42L, skewCap = 2000))
+      persistSeam(scored.toDF(), "qf1b_scored")
+      val back = s.read.parquet(oracleSeam("qf1b_scored")).as[graft.schema.ScoredTurn]
+      QualityFilter.labelScored(back)
         .select(col("conv_id"), col("turn_idx"), col("keep"),
           concat_ws("|", col("drop_reasons")).as("reasons"),
           col("scrubbed_text"), col("lang"), round(col("ppl"), 4).as("ppl"))
@@ -1614,6 +1664,49 @@ object SparkEntry {
          UNION ALL
          SELECT 2 AS version,
            (SELECT count(*) FROM lineitem WHERE l_orderkey < 200) AS n_rows
-         ORDER BY version"""
+         ORDER BY version""",
+
+    // ---------------- flagship rules layer over persisted model seams
+    "qf1b_rules_oracle" ->
+      graft.oracle.RulesSql.relabelSql(oracleSeamGlob("qf1b_scored")),
+
+    "lid1_langid_docs" ->
+      s"""SELECT pred_lang, count(*) AS n, round(sum(conf), 4) AS sum_conf
+          FROM '${oracleSeamGlob("lid1_scores")}'
+          GROUP BY pred_lang ORDER BY pred_lang""",
+
+    "dp1_doc_pipeline" ->
+      s"""WITH sc AS (SELECT * FROM '${oracleSeamGlob("dp1_scores")}'),
+          nd AS (SELECT doc_id FROM '${oracleSeamGlob("dp1_neardups")}'),
+          d AS (SELECT doc_id, text,
+                  doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_exact_dup
+                FROM documents),
+          m AS (SELECT d.doc_id, d.text, d.is_exact_dup, sc.lang, sc.lang_conf,
+                  (d.doc_id IN (SELECT doc_id FROM nd)) AS is_near_dup
+                FROM d JOIN sc ON d.doc_id = sc.doc_id),
+          f AS (SELECT *,
+              len(string_split_regex(trim(text), '\\s+')) AS n_toks,
+              CASE WHEN length(text) = 0 THEN 0.0
+                   ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                        / length(text) END AS sym_ratio,
+              CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) = 0 THEN 0.0
+                   ELSE CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE)
+                        / len(string_split_regex(lower(trim(text)), '\\s+')) END AS stop_ratio
+            FROM m),
+          g AS (SELECT *, round(least(length(text) / 200.0, 1.0) * 0.4 +
+                  greatest(0.0, 1.0 - sym_ratio * 3.0) * 0.4 +
+                  least(stop_ratio * 5.0, 1.0) * 0.2, 6) AS quality FROM f),
+          r AS (SELECT *, concat_ws('|',
+              CASE WHEN text IS NULL OR trim(text) = '' THEN 'empty' END,
+              CASE WHEN n_toks < 5 THEN 'too_short' END,
+              CASE WHEN sym_ratio > 0.3 THEN 'symbol_noise' END,
+              CASE WHEN quality < 0.3 THEN 'low_quality' END,
+              CASE WHEN lang NOT IN ('de', 'en', 'fr') AND lang_conf >= 0.65 THEN 'lang' END,
+              CASE WHEN is_exact_dup THEN 'exact_dup' END,
+              CASE WHEN is_near_dup THEN 'near_dup' END) AS reasons
+            FROM g)
+          SELECT doc_id, (reasons = '') AS keep, reasons, lang, quality
+          FROM r ORDER BY doc_id"""
   )
 }

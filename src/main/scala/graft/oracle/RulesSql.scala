@@ -1,0 +1,118 @@
+package graft.oracle
+
+import graft.rules.RuleConfig._
+
+/** Renders the flagship rules layer — SkewSplit.finishLabeling plus the
+  * dup/seq windows and the conversation language vote — as DuckDB SQL
+  * over a persisted ScoredTurn parquet table.
+  *
+  * This is the driver-side independent check of everything downstream
+  * of the model pass: the mapPartitions scoring stage (language-ID +
+  * perplexity + text metrics) is not SQL-expressible, but its OUTPUT is
+  * just columns; persisting it lets DuckDB re-derive keep/drop,
+  * lineage, and scrubbed text from first principles (window functions,
+  * CASE logic, regexp_replace) and hash-compare against the pipeline.
+  *
+  * Single source of truth: every threshold, sentinel, regex, and the
+  * rule order come from [[graft.rules.RuleConfig]]; the language list
+  * comes from [[graft.lang.LangId]] — the SQL is generated, never
+  * hand-copied. All scrub patterns are RE2-compatible (no backrefs or
+  * lookaround), which ScrubPropertySpec pins.
+  */
+object RulesSql {
+
+  private def q(s: String): String = "'" + s.replace("'", "''") + "'"
+  private def inList(xs: Iterable[String]): String =
+    xs.map(q).mkString("(", ", ", ")")
+
+  /** Languages the vote sums over — the classifier's fixed label set. */
+  def voteLangs: Seq[String] = graft.lang.LangId.default.langs.toSeq
+
+  /** Whitespace-normalize + ordered PII scrub chain over a text column,
+    * mirroring GraftExpressions.scrubAll (normalize → email → key →
+    * phone → slur, each global).
+    */
+  def scrubSql(src: String): String = {
+    val norm =
+      s"regexp_replace(regexp_replace($src, ${q(WhitespaceRe)}, ' ', 'g'), ${q("^ | $")}, '', 'g')"
+    ScrubChain.foldLeft(norm) { case (acc, (_, pattern, repl)) =>
+      s"regexp_replace($acc, ${q(pattern)}, ${q(repl)}, 'g')"
+    }
+  }
+
+  private def eligibleSql: String =
+    s"(NOT is_empty AND norm_len >= $PplMinChars AND role IS DISTINCT FROM 'tool')"
+
+  /** (rule id, SQL condition) in RuleOrder, over the windowed row set
+    * (columns: ScoredTurn.* + dup_rank, is_first, prev_idx, prev_ts,
+    * conv_lang). Mirrors SkewSplit.finishLabeling's predicates 1:1.
+    */
+  def ruleConds: Seq[(String, String)] = {
+    val conds = Seq(
+      RuleEmpty -> "is_empty",
+      RuleLength ->
+        s"(NOT is_empty AND (norm_len < $MinLen OR norm_len > $MaxLen))",
+      RuleSymbol ->
+        s"""(NOT is_empty AND role IS DISTINCT FROM 'tool'
+            AND norm_len >= $SymbolDensityMinLen
+            AND sym_density > CAST($SymbolDensityThreshold AS DOUBLE))""",
+      RuleRepetition ->
+        s"""(NOT is_empty AND role IS DISTINCT FROM 'tool'
+            AND norm_len >= ${RepetitionMinGrams + RepetitionOrder - 1}
+            AND rep_ratio < CAST($RepetitionDistinctMin AS DOUBLE))""",
+      RuleBadRole ->
+        s"(role IS NULL OR role NOT IN ${inList(AllowedRoles.toSeq.sorted)})",
+      RuleBadTool ->
+        s"""((tool IS NOT NULL AND NOT coalesce(role IN ${inList(ToolBearingRoles.toSeq.sorted)}, false))
+            OR (role IS NOT DISTINCT FROM 'tool' AND tool IS NULL))""",
+      RuleNonContiguous ->
+        "(CASE WHEN is_first THEN turn_idx <> 0 ELSE turn_idx <> prev_idx + 1 END)",
+      RuleTsRegress ->
+        "(NOT is_first AND ts IS NOT NULL AND prev_ts IS NOT NULL AND ts < prev_ts)",
+      RuleDuplicate -> "(NOT is_empty AND dup_rank > 1)",
+      RuleLang ->
+        s"""($eligibleSql AND lang NOT IN ${inList(AllowedLangs.toSeq.sorted)}
+            AND (lang_conf >= CAST($LangDropConf AS DOUBLE)
+                 OR conv_lang NOT IN ${inList(AllowedLangs.toSeq.sorted)}))""",
+      RulePpl -> s"($eligibleSql AND ppl > CAST($PplMax AS DOUBLE))"
+    )
+    require(conds.map(_._1) == RuleOrder, "rule order drift vs RuleConfig")
+    conds
+  }
+
+  /** Full re-labeling query over a ScoredTurn parquet directory:
+    * windows → vote → rules → scrub, ending in the qf1 output shape
+    * (conv_id, turn_idx, keep, reasons, scrubbed_text, lang, ppl).
+    */
+  def relabelSql(scoredGlob: String): String = {
+    val voteSums = voteLangs.map(l =>
+      s"""sum(CASE WHEN $eligibleSql AND lang = ${q(l)} THEN 1 ELSE 0 END)
+          OVER (PARTITION BY conv_id) AS cnt_$l""").mkString(",\n           ")
+    val maxCnt = voteLangs.map(l => s"cnt_$l").mkString("greatest(", ", ", ")")
+    val voteCase = voteLangs.map(l =>
+      s"WHEN cnt_$l = max_cnt THEN ${q(l)}").mkString(" ")
+    val reasonCases = ruleConds.map { case (name, cond) =>
+      s"CASE WHEN $cond THEN ${q(name)} END"
+    }.mkString(",\n           ")
+    s"""WITH st AS (SELECT * FROM ${q(scoredGlob)}),
+       w AS (SELECT st.*,
+           CASE WHEN is_empty THEN 1
+                ELSE row_number() OVER (PARTITION BY conv_id, norm_hash ORDER BY turn_idx)
+           END AS dup_rank,
+           (row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)) = 1 AS is_first,
+           lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_idx,
+           lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_ts,
+           $voteSums
+         FROM st),
+       v AS (SELECT *, $maxCnt AS max_cnt FROM w),
+       c AS (SELECT *,
+           CASE WHEN max_cnt > 0 THEN (CASE $voteCase END) ELSE 'und' END AS conv_lang
+         FROM v),
+       r AS (SELECT *, concat_ws('|',
+           $reasonCases) AS reasons
+         FROM c)
+       SELECT conv_id, turn_idx, (reasons = '') AS keep, reasons,
+         ${scrubSql("text")} AS scrubbed_text, lang, round(ppl, 4) AS ppl
+       FROM r ORDER BY conv_id, turn_idx"""
+  }
+}

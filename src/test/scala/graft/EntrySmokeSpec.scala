@@ -19,11 +19,9 @@ class EntrySmokeSpec extends AnyFunSuite {
     assert(o.subsetOf(q), s"orphan oracles: ${o -- q}")
     val rowsOnly = q -- o
     val expectedRowsOnly = Set(
-      "qf1_quality_filter",      // transcript pipeline (our semantics)
-      "lid1_langid_docs",        // broadcast model, not SQL
+      "qf1_quality_filter",      // rules layer hash-checked via qf1b_rules_oracle
       "dd2_minhash_pairs",       // bench headline; dd2b is its oracle-checked twin
-      "mm1_multimodal_features", // stub decoder
-      "dp1_doc_pipeline")        // composite: model + LSH, not SQL
+      "mm1_multimodal_features") // stub decoder
     assert(rowsOnly == expectedRowsOnly,
       s"unexpected rows-only queries: ${rowsOnly -- expectedRowsOnly}; " +
         s"missing: ${expectedRowsOnly -- rowsOnly}")
