@@ -941,13 +941,32 @@ object SparkEntry {
         .orderBy(col("pred_lang"))
     }),
 
-    // --------------------------------------------------- multimodal stub
+    // ------------------------------ multimodal (real image decode path)
     "mm1_multimodal_features" -> ((s, dir) => {
+      // all three modalities through one featurize pass: image rows are
+      // REAL PNG decode (JDK ImageIO), audio/video remain declared
+      // stubs — hence rows-only here; mm2 is the oracle-checked twin
+      // over the real-decode subset
       import graft.ops.Multimodal
       val media = Multimodal.synthesize(s,
         t(s, dir, "documents").where(col("doc_id") < 50), "doc_id")
       Multimodal.featurize(media).toDF()
         .select(col("media_id"), col("mime"), col("n_bytes"),
+          round(col("brightness"), 6).as("brightness"))
+        .orderBy(col("media_id"))
+    }),
+
+    "mm2_image_decode" -> ((s, dir) => {
+      // real decode: synthesized solid-color PNGs → ImageIO → decoded
+      // dimensions + mean-RGB brightness; the oracle predicts all of it
+      // from the id arithmetic (PNG is lossless, so decoded pixels ==
+      // synthesized pixels exactly)
+      import graft.ops.Multimodal
+      val media = Multimodal.synthesize(s,
+        t(s, dir, "documents").where(col("doc_id") < 120 && col("doc_id") % 3 === 0),
+        "doc_id")
+      Multimodal.featurize(media, Multimodal.ImageIoDecoder).toDF()
+        .select(col("media_id"), col("width"), col("height"),
           round(col("brightness"), 6).as("brightness"))
         .orderBy(col("media_id"))
     }),
@@ -1096,6 +1115,22 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "dd2c_minhash_bench_oracle" -> ((s, dir) => {
+      // LSH at the BENCH parameters (16 bands × 4 rows, where misses are
+      // possible): emitted pairs go through the oracle seam; DuckDB
+      // re-verifies each against brute force (precision + jaccard value)
+      // and bounds recall at ≥0.9 — the booleans here are the PREDICTED
+      // values the oracle must reproduce
+      val pairs = Dedup.minHashPairs(t(s, dir, "documents"), "text", "doc_id",
+          numHashes = 64, bands = 16, shingleK = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      persistSeam(pairs, "dd2_pairs")
+      s.read.parquet(oracleSeam("dd2_pairs"))
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          lit(true).as("in_brute"), lit(true).as("recall_ok"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "ann2b_lsh_recall" -> ((s, dir) => {
       val (corpus, queries) = clusteredEmbeddings(s, dir)
       val brute = Ann.bruteForceTopK(corpus, queries, k = 5, roundTo = 9)
@@ -1195,6 +1230,23 @@ object SparkEntry {
             .cast("float")).as("embedding"))
     (base.select(col("vec_id"), col("embedding")).unionByName(members), base)
   }
+
+  /** Shared CTE chain computing all-pairs 3-gram word-shingle jaccard
+    * over the documents view (`p(id_a, id_b, j)` with id_a < id_b) —
+    * the ground truth for every MinHash-LSH oracle.
+    */
+  private val minhashBruteCtes: String =
+    """w AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS g
+           FROM w),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+               (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS j
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)"""
 
   def oracleSql: Map[String, String] = Map(
     "a1_count_rows" ->
@@ -1595,19 +1647,37 @@ object SparkEntry {
     // TextAlgos.shingles: lowercase, \s+ tokens, <k → one whole-string
     // shingle, distinct sets)
     "dd2b_minhash_brute" ->
-      """WITH w AS (SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
-           FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
-         sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-             ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
-               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS g
-           FROM w),
-         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
-               (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS j
-           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      s"""WITH $minhashBruteCtes
          SELECT id_a, id_b, round(j, 6) AS jaccard FROM p
          WHERE j >= 0.5 ORDER BY id_a, id_b""",
+
+    // bench-parameter LSH (bands=16) against the same brute-force truth:
+    // per-pair membership + independently recomputed jaccard (precision,
+    // one-sided) and a corpus-level recall bound — both as oracle-
+    // predicted values, so an LSH regression fails the hash compare
+    "dd2c_minhash_bench_oracle" ->
+      s"""WITH $minhashBruteCtes,
+         b AS (SELECT id_a, id_b, j FROM p WHERE j >= 0.5),
+         e AS (SELECT id_a, id_b FROM '${oracleSeamGlob("dd2_pairs")}'),
+         hit AS (SELECT count(*) AS n_hit FROM e JOIN b ON e.id_a = b.id_a AND e.id_b = b.id_b),
+         nb AS (SELECT count(*) AS n_brute FROM b)
+         SELECT e.id_a, e.id_b, round(b.j, 6) AS jaccard,
+           (b.id_a IS NOT NULL) AS in_brute,
+           ((SELECT n_hit FROM hit) >= 0.9 * (SELECT n_brute FROM nb)) AS recall_ok
+         FROM e LEFT JOIN b ON e.id_a = b.id_a AND e.id_b = b.id_b
+         ORDER BY e.id_a, e.id_b""",
+
+    // the bench headline itself: its emitted pairs (persisted by dd2c)
+    // restricted to the brute-force truth, with the oracle's own jaccard
+    // values — equal to dd2's output iff every emitted pair is a true
+    // ≥-threshold pair with a matching score (recall is dd2c's bound)
+    "dd2_minhash_pairs" ->
+      s"""WITH $minhashBruteCtes,
+         b AS (SELECT id_a, id_b, j FROM p WHERE j >= 0.5),
+         e AS (SELECT id_a, id_b FROM '${oracleSeamGlob("dd2_pairs")}')
+         SELECT b.id_a, b.id_b, round(b.j, 4) AS jaccard
+         FROM b JOIN e ON b.id_a = e.id_a AND b.id_b = e.id_b
+         ORDER BY b.id_a, b.id_b""",
 
     "dd4_consecutive_jaccard" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
@@ -1665,6 +1735,18 @@ object SparkEntry {
          SELECT 2 AS version,
            (SELECT count(*) FROM lineitem WHERE l_orderkey < 200) AS n_rows
          ORDER BY version""",
+
+    // brightness of a solid-color PNG = (r+g+b)/765; sum/(765·n_pixels)
+    // and (r+g+b)/765 are the same correctly-rounded double because the
+    // pixel sum is exactly n·(r+g+b)
+    "mm2_image_decode" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(16 + doc_id % 64 AS INTEGER) AS width,
+           CAST(16 + doc_id % 48 AS INTEGER) AS height,
+           round(((doc_id % 256) * 37 % 256 + (doc_id % 256) * 59 % 256 +
+                  (doc_id % 256) * 83 % 256) / (3.0 * 255.0), 6) AS brightness
+         FROM documents WHERE doc_id < 120 AND doc_id % 3 = 0
+         ORDER BY media_id""",
 
     // ---------------- flagship rules layer over persisted model seams
     "qf1b_rules_oracle" ->

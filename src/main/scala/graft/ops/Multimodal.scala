@@ -6,12 +6,17 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextAlgos
 
 /** Multimodal column handling: image/audio/video as opaque `binary`
-  * columns with typed metadata. The Spark-side plumbing — schema,
-  * partition-sized batching, feature schema — is real; the decoder is a
-  * STUB (this container has no image/audio codecs): a deterministic
-  * fake that derives "features" from the bytes, clearly marked, with
-  * the decode seam isolated behind [[MediaDecoder]] so a real codec
-  * (or a Python `mapInPandas` stage in a PySpark deployment) drops in.
+  * columns with typed metadata.
+  *
+  * The Spark-side plumbing — schema, partition-sized batching, feature
+  * schema — is real for every modality. IMAGE decode/resize are also
+  * real: [[ImageIoDecoder]]/[[ImageIoResizer]] run the JDK's bundled
+  * PNG/JPEG/BMP/GIF codecs (`javax.imageio`), so width/height/
+  * brightness/embedding for image mimes come from actual pixels. Audio
+  * and video codecs do NOT ship in the JDK, so those modalities remain
+  * deterministic STUBS ([[FakeDecoder]]/[[FakeResizer]]) behind the
+  * same seams — a real codec (or a Python `mapInPandas` stage in a
+  * PySpark deployment) drops in per modality.
   */
 object Multimodal {
 
@@ -26,9 +31,11 @@ object Multimodal {
       media_id: Long,
       mime: String,
       n_bytes: Int,
+      width: Int,  // decoded (ImageIoDecoder) or metadata (FakeDecoder)
+      height: Int,
       sha_like: Long,
-      brightness: Double, // STUB feature
-      embedding: Array[Float]) // STUB feature
+      brightness: Double, // real for image mimes, STUB otherwise
+      embedding: Array[Float]) // real for image mimes, STUB otherwise
 
   /** The decode seam. The production implementation would wrap an image
     * library; tests and the sandbox use [[FakeDecoder]].
@@ -59,17 +66,66 @@ object Multimodal {
         emb(d) = ((TextAlgos.mix64(sig + d) >>> 40).toInt / 8388608.0f) - 1.0f
         d += 1
       }
-      MediaFeatures(row.media_id, row.mime, bytes.length, sig,
+      MediaFeatures(row.media_id, row.mime, bytes.length, row.width, row.height, sig,
         if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length / 255.0, emb)
+    }
+  }
+
+  /** REAL image decoding via the JDK's bundled codecs (PNG/JPEG/BMP/GIF
+    * — no external jars): decoded width/height, mean-RGB brightness in
+    * [0,1], and an 8-dim embedding of per-vertical-strip gray means.
+    * Non-image mimes (and undecodable payloads) fall back to the
+    * declared stub so the pipeline never throws on a corrupt cell —
+    * the corrupt case keeps the stub's byte-derived features.
+    */
+  object ImageIoDecoder extends MediaDecoder {
+    def decode(row: MediaRow): MediaFeatures = {
+      if (row.mime == null || !row.mime.startsWith("image/") || row.payload == null)
+        return FakeDecoder.decode(row)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) return FakeDecoder.decode(row)
+      val w = img.getWidth
+      val h = img.getHeight
+      var sumRgb = 0L
+      val stripSum = new Array[Long](8)
+      val stripN = new Array[Long](8)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val gray = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          sumRgb += gray
+          val strip = x * 8 / w
+          stripSum(strip) += gray
+          stripN(strip) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val fake = FakeDecoder.decode(row) // sha_like stays byte-derived
+      val emb = new Array[Float](8)
+      var d = 0
+      while (d < 8) {
+        emb(d) =
+          if (stripN(d) == 0) 0.0f
+          else (stripSum(d).toDouble / (3.0 * 255.0 * stripN(d))).toFloat
+        d += 1
+      }
+      MediaFeatures(row.media_id, row.mime, row.payload.length, w, h,
+        fake.sha_like, sumRgb.toDouble / (3.0 * 255.0 * w * h), emb)
     }
   }
 
   /** Distributed featurization: partition-batched decode (the Scala
     * analog of `mapInPandas` — one decoder instance per partition, rows
     * streamed through it), typed Dataset in/out, no driver collect.
+    * Default decoder = real ImageIO for images, stub for audio/video.
     */
   def featurize(ds: Dataset[MediaRow],
-                decoder: MediaDecoder = FakeDecoder): Dataset[MediaFeatures] = {
+                decoder: MediaDecoder = ImageIoDecoder): Dataset[MediaFeatures] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[MediaFeatures]
     ds.mapPartitions { it => it.map(decoder.decode) }
   }
@@ -101,11 +157,43 @@ object Multimodal {
     }
   }
 
+  /** REAL image resize: decode via ImageIO, nearest-neighbor rescale
+    * into a fresh RGB raster (deterministic — no platform-dependent
+    * filtering), re-encode as PNG. Non-image/undecodable rows fall back
+    * to [[FakeResizer]].
+    */
+  object ImageIoResizer extends MediaResizer {
+    def resize(row: MediaRow, w: Int, h: Int): MediaRow = {
+      if (row.mime == null || !row.mime.startsWith("image/") || row.payload == null)
+        return FakeResizer.resize(row, w, h)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) return FakeResizer.resize(row, w, h)
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        val sy = (y.toLong * img.getHeight / h).toInt
+        var x = 0
+        while (x < w) {
+          out.setRGB(x, y, img.getRGB((x.toLong * img.getWidth / w).toInt, sy))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      row.copy(width = w, height = h, payload = bos.toByteArray, mime = "image/png")
+    }
+  }
+
   /** Distributed resize: one resizer per partition, metadata rewritten
-    * with the payload.
+    * with the payload. Default = real ImageIO rescale for images, stub
+    * downsample for audio/video.
     */
   def resize(ds: Dataset[MediaRow], w: Int, h: Int,
-             resizer: MediaResizer = FakeResizer): Dataset[MediaRow] = {
+             resizer: MediaResizer = ImageIoResizer): Dataset[MediaRow] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
     ds.mapPartitions(_.map(resizer.resize(_, w, h)))
   }
@@ -132,18 +220,47 @@ object Multimodal {
     })
   }
 
+  /** Deterministic solid-color RGB for a synthesized image id — simple
+    * modular arithmetic so the DuckDB oracle can predict the decoded
+    * brightness from the id alone.
+    */
+  def synthColor(id: Long): (Int, Int, Int) =
+    (((id % 256) * 37 % 256).toInt, ((id % 256) * 59 % 256).toInt,
+      ((id % 256) * 83 % 256).toInt)
+
   /** Synthesize a deterministic media table from any id column — the
-    * sandbox stand-in for reading a real binary-column table.
+    * sandbox stand-in for reading a real binary-column table. Image
+    * rows carry REAL PNG payloads (encoded on the executor, solid
+    * [[synthColor]] pixels at the metadata dimensions); audio/video
+    * payloads are deterministic stub bytes.
     */
   def synthesize(spark: SparkSession, ids: DataFrame, idCol: String): Dataset[MediaRow] = {
     import spark.implicits._
     ids.select(col(idCol).cast("long")).as[Long].map { id =>
-      val n = 64 + (TextAlgos.mix64(id) & 0xFF).toInt
-      val bytes = new Array[Byte](n)
-      var i = 0
-      while (i < n) { bytes(i) = (TextAlgos.mix64(id * 1000 + i) & 0xff).toByte; i += 1 }
-      val mime = if (id % 3 == 0) "image/png" else if (id % 3 == 1) "audio/wav" else "video/mp4"
-      MediaRow(id, mime, 16 + (id % 64).toInt, 16 + (id % 48).toInt, bytes)
+      val w = 16 + (id % 64).toInt
+      val h = 16 + (id % 48).toInt
+      if (id % 3 == 0) {
+        val (r, g, b) = synthColor(id)
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (r << 16) | (g << 8) | b
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRow(id, "image/png", w, h, bos.toByteArray)
+      } else {
+        val n = 64 + (TextAlgos.mix64(id) & 0xFF).toInt
+        val bytes = new Array[Byte](n)
+        var i = 0
+        while (i < n) { bytes(i) = (TextAlgos.mix64(id * 1000 + i) & 0xff).toByte; i += 1 }
+        val mime = if (id % 3 == 1) "audio/wav" else "video/mp4"
+        MediaRow(id, mime, w, h, bytes)
+      }
     }
   }
 }

@@ -20,8 +20,7 @@ class EntrySmokeSpec extends AnyFunSuite {
     val rowsOnly = q -- o
     val expectedRowsOnly = Set(
       "qf1_quality_filter",      // rules layer hash-checked via qf1b_rules_oracle
-      "dd2_minhash_pairs",       // bench headline; dd2b is its oracle-checked twin
-      "mm1_multimodal_features") // stub decoder
+      "mm1_multimodal_features") // stub decoder; mm2 is the real-decode twin
     assert(rowsOnly == expectedRowsOnly,
       s"unexpected rows-only queries: ${rowsOnly -- expectedRowsOnly}; " +
         s"missing: ${expectedRowsOnly -- rowsOnly}")

@@ -109,10 +109,17 @@ class Ops2Spec extends AnyFunSuite {
     assert(feats.map(_.mime).distinct.sorted.toSeq ==
       Seq("audio/wav", "image/png", "video/mp4"))
 
-    // resize: metadata + payload budget rewritten, deterministic
+    // resize: metadata rewritten; image payloads re-encoded at the
+    // target dims by the REAL ImageIO path, stub payloads downsampled
+    // to the byte budget; deterministic across partitioning
     val resized = Multimodal.resize(media, 32, 32).collect().sortBy(_.media_id)
     assert(resized.forall(r => r.width == 32 && r.height == 32))
-    assert(resized.forall(r => r.payload.length <= 32 * 32 / 16))
+    resized.filterNot(_.mime == "image/png")
+      .foreach(r => assert(r.payload.length <= 32 * 32 / 16))
+    resized.filter(_.mime == "image/png").foreach { r =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      assert(img.getWidth == 32 && img.getHeight == 32)
+    }
     val resized2 = Multimodal.resize(media.repartition(5), 32, 32)
       .collect().sortBy(_.media_id)
     assert(resized.map(_.payload.toSeq).toSeq == resized2.map(_.payload.toSeq).toSeq)
@@ -130,5 +137,31 @@ class Ops2Spec extends AnyFunSuite {
     }
     byMedia.filterNot(kv => videos(kv._1)).values
       .foreach(fs => assert(fs.map(_.frame_idx).toSeq == Seq(0)))
+  }
+
+  test("real image decode: ImageIO round-trips synthesized PNGs exactly") {
+    import spark.implicits._
+    val media = Multimodal.synthesize(spark, spark.range(0, 60).toDF("id"), "id")
+      .filter(_.mime == "image/png")
+    val feats = Multimodal.featurize(media, Multimodal.ImageIoDecoder)
+      .collect().sortBy(_.media_id)
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      val id = f.media_id
+      assert(f.width == 16 + (id % 64).toInt, s"decoded width of $id")
+      assert(f.height == 16 + (id % 48).toInt, s"decoded height of $id")
+      val (r, g, b) = Multimodal.synthColor(id)
+      assert(math.abs(f.brightness - (r + g + b) / 765.0) < 1e-12,
+        s"decoded brightness of $id: ${f.brightness} vs ${(r + g + b) / 765.0}")
+      // solid color → every vertical-strip mean equals the global mean
+      f.embedding.foreach(e => assert(math.abs(e - f.brightness) < 1e-6))
+    }
+    // audio/video rows keep the declared stub features
+    val av = Multimodal.synthesize(spark, spark.range(0, 9).toDF("id"), "id")
+      .filter(_.mime != "image/png")
+    val stub = Multimodal.featurize(av, Multimodal.ImageIoDecoder).collect()
+    val fake = Multimodal.featurize(av, Multimodal.FakeDecoder).collect()
+    assert(stub.sortBy(_.media_id).map(_.brightness).toSeq ==
+      fake.sortBy(_.media_id).map(_.brightness).toSeq)
   }
 }
