@@ -59,7 +59,10 @@ object SparkEntry {
     */
   private val countryExtraAnoms: Seq[(Int, String)] = Seq(
     (101, "US"), (102, "FRA"), (103, "Germany"),
-    (104, "Etats-Unis"), (105, "Royaume Uni"))
+    (104, "Etats-Unis"), (105, "Royaume Uni"),
+    // best match exists ONLY in the full dictionary (Ouzbékistan /
+    // Kirghizistan were not in the round-2 subset)
+    (106, "Ouzbekistan"), (107, "Kirgizistan"))
 
   /** Dirty values per data type for the constraint-registry sub-rules
     * (data_types.json:19-125).
