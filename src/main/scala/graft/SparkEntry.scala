@@ -74,7 +74,17 @@ object SparkEntry {
     (7, "montant", "1234.56"), (8, "montant", "15€€"), (9, "montant", "999"),
     (10, "telephone", "+33777889911"), (11, "telephone", "06.17.58.65.65"),
     (12, "telephone", "06/17/58/65"), (13, "telephone", "(+33) 777-889"),
-    (14, "numerique", "12.5"), (15, "numerique", "12a"), (16, "numerique", "-7"))
+    (14, "numerique", "12.5"), (15, "numerique", "12a"), (16, "numerique", "-7"),
+    // DATE range sub-rules (lookahead originals vs RE2 rewrites):
+    // unrealistic day in each branch of AAAA-MM-JJ, the 0000/9999 year
+    // guard (first branch only), 2-3-digit vs 4-digit years for the
+    // DD/MM and DD MMM rules, and the dead MM-DD-YYYY rule
+    (17, "date", "2020-01-45"), (18, "date", "0000-01-45"),
+    (19, "date", "9999-04-31"), (20, "date", "2021-02-30"),
+    (21, "date", "12-31-2020"), (22, "date", "31/12/99"),
+    (23, "date", "31/12/1999"), (24, "date", "31/12/999"),
+    (25, "date", "01 Jan 99"), (26, "date", "01 Jan 1999"),
+    (27, "date", "15 Mar 123"), (28, "date", "1951-06-17"))
 
   /** Date strings covering the 14 reformat formats + invalid cases. */
   private val dateFixture: Seq[(Int, String)] = Seq(
@@ -413,9 +423,9 @@ object SparkEntry {
     val fixture = subRuleFixture.map { case (i, t, v) =>
       s"($i, ${sqlQuote(t)}, ${sqlQuote(v)})" }
       .mkString("(VALUES ", ", ", ") AS f(id, dtype, v)")
-    val perRule = SemanticTypes.subRules.filter(_.re2Safe).map { r =>
+    val perRule = SemanticTypes.subRules.map { r =>
       s"""SELECT ${sqlQuote(r.dataType)} AS data_type, ${sqlQuote(r.name)} AS rule_name,
-            CAST(sum(CASE WHEN regexp_matches(v, ${sqlQuote(r.regex)}) THEN 1 ELSE 0 END) AS BIGINT) AS n
+            CAST(sum(CASE WHEN regexp_matches(v, ${sqlQuote(r.re2)}) THEN 1 ELSE 0 END) AS BIGINT) AS n
           FROM $fixture WHERE dtype = ${sqlQuote(r.dataType)}"""
     }
     s"""SELECT data_type, rule_name, n FROM (${perRule.mkString(" UNION ALL ")})
@@ -1069,7 +1079,7 @@ object SparkEntry {
     "f16b_registry_subrules" -> ((s, _) => {
       import graft.ops.SemanticTypes
       val fixture = s.createDataFrame(subRuleFixture).toDF("id", "dtype", "v")
-      val counts = SemanticTypes.subRules.filter(_.re2Safe).map { r =>
+      val counts = SemanticTypes.subRules.map { r =>
         fixture.where(col("dtype") === r.dataType)
           .agg(sum(SemanticTypes.subRuleFlag(col("v"), r).cast("long")).as("n"))
           .select(lit(r.dataType).as("data_type"), lit(r.name).as("rule_name"), col("n"))

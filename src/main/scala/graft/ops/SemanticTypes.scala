@@ -71,42 +71,67 @@ object SemanticTypes {
   def numericViolation(c: Column): Column = !lower(c).rlike(NumericTypeRe)
 
   // ------------------------------------- constraint-registry sub-rules
-  // (data_types.json "specifiques", :19-125). Match = finding. The DATE
-  // range rules use lookaheads (Java-regex only — RE2/DuckDB cannot run
-  // them, so they are spec-tested rather than oracle-checked).
-  final case class SubRule(dataType: String, name: String, regex: String, re2Safe: Boolean)
+  // (data_types.json "specifiques", :19-125). Match = finding. `regex`
+  // is the reference's Java pattern (what the Spark query runs);
+  // `re2` is an RE2-compatible equivalent for the DuckDB oracle. Most
+  // rules are RE2-safe as-is; the DATE range rules use negative
+  // lookaheads, rewritten below as plain alternations (equivalence
+  // asserted by RulesSpec under java.util.regex — the rewrites avoid
+  // every lookahead, so they also run under RE2).
+  final case class SubRule(dataType: String, name: String, regex: String,
+                           re2Override: Option[String] = None) {
+    def re2: String = re2Override.getOrElse(regex)
+  }
+
+  /** `\d{4}` minus 0000 and 9999, lookahead-free: first digit 1-8, or
+    * leading 0/9 with at least one digit ≠ 0/≠ 9 somewhere after.
+    */
+  private val YearNot0000Or9999 =
+    "(?:[1-8]\\d{3}|0\\d{2}[1-9]|0\\d[1-9]\\d|0[1-9]\\d{2}|9\\d{2}[0-8]|9\\d[0-8]\\d|9[0-8]\\d{2})"
+
+  /** A pattern that matches nothing (RE2 and Java agree): the
+    * MM-DD-YYYY range rule's year lookahead excludes EVERY 4-digit
+    * string while `\d{4}` requires one — the reference rule is dead
+    * code, preserved as such.
+    */
+  private val NeverMatches = "[^\\s\\S]"
+
   val subRules: Seq[SubRule] = Seq(
-    SubRule("email", "caracteres speciaux sur email", "[^a-zA-Z0-9_@.]", re2Safe = true),
+    SubRule("email", "caracteres speciaux sur email", "[^a-zA-Z0-9_@.]"),
     SubRule("email", "domaine invalide",
-      "(?:[^\\s@]+@(?:(?:[^\\s@.]+\\.)+[^\\s@.]{2,}|[^\\s@.]*[^-\\s\\w.][^\\s@.]*|[^\\s@.]*[-.]{2,}[^\\s@.]*|[^\\s@.]*\\.[^\\s@.]*\\.))",
-      re2Safe = true),
-    SubRule("email", "depasse la longueur maximale", "^.{255,}$", re2Safe = true),
+      "(?:[^\\s@]+@(?:(?:[^\\s@.]+\\.)+[^\\s@.]{2,}|[^\\s@.]*[^-\\s\\w.][^\\s@.]*|[^\\s@.]*[-.]{2,}[^\\s@.]*|[^\\s@.]*\\.[^\\s@.]*\\.))"),
+    SubRule("email", "depasse la longueur maximale", "^.{255,}$"),
     SubRule("montant", "presence de delimiteurs",
-      "^(?:(?:\\d{1,3})(?:(?:,\\d{3})*(?:\\.\\d*)?|(?:\\.\\d{3})*(?:,\\d*)?))$", re2Safe = true),
+      "^(?:(?:\\d{1,3})(?:(?:,\\d{3})*(?:\\.\\d*)?|(?:\\.\\d{3})*(?:,\\d*)?))$"),
     SubRule("montant", "plusieurs symboles sur la monnaie",
-      "[0-9]+(?:[.,][0-9]+)*([^\\w\\s.,\\-`]){2,}", re2Safe = true),
+      "[0-9]+(?:[.,][0-9]+)*([^\\w\\s.,\\-`]){2,}"),
     SubRule("montant", "delimiteurs non uniformes",
-      "^(?:(\\d{1,3}(\\.\\d{3})*,\\d{2,3})|(\\d{1,3}(,\\d{3})*\\.\\d{2,3}))$", re2Safe = true),
-    SubRule("montant", "delimiteurs avec virgules", "^(\\d{1,3})(,\\d{3})*$", re2Safe = true),
+      "^(?:(\\d{1,3}(\\.\\d{3})*,\\d{2,3})|(\\d{1,3}(,\\d{3})*\\.\\d{2,3}))$"),
+    SubRule("montant", "delimiteurs avec virgules", "^(\\d{1,3})(,\\d{3})*$"),
     SubRule("telephone", "presence d'indicateur dans le numero",
-      "^\\+?\\d{1,3}[-.\\s]?\\d{1,15}$", re2Safe = true),
+      "^\\+?\\d{1,3}[-.\\s]?\\d{1,15}$"),
     SubRule("telephone", "presence de caracteres invalides dans le numero",
-      "[^0-9 \\-()+]", re2Safe = true),
-    SubRule("telephone", "presence de delimiteurs invalides", "[^0-9 \\-.]", re2Safe = true),
+      "[^0-9 \\-()+]"),
+    SubRule("telephone", "presence de delimiteurs invalides", "[^0-9 \\-.]"),
     SubRule("date", "plage irrealiste AAAA-MM-JJ",
       "(?:[^\\d]|^)(?!0000|9999)(\\d{4})-(?:0[13-9]|1[0-2])-(?:3[2-9]|[4-9]\\d)|(?:[^\\d]|^)(\\d{4})-(?:0[469]|11)-(?:31|[4-9]\\d)|(?:[^\\d]|^)(\\d{4})-02-(?:3[0-9]|[4-9]\\d)",
-      re2Safe = false),
+      // the (?!0000|9999) year guard only applies to the first branch
+      Some("(?:[^\\d]|^)" + YearNot0000Or9999 + "-(?:0[13-9]|1[0-2])-(?:3[2-9]|[4-9]\\d)" +
+        "|(?:[^\\d]|^)\\d{4}-(?:0[469]|11)-(?:31|[4-9]\\d)" +
+        "|(?:[^\\d]|^)\\d{4}-02-(?:3[0-9]|[4-9]\\d)")),
     SubRule("date", "plage irrealiste MM-DD-YYYY",
       "(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])-(?!(0000|000[1-9]|00[1-9][0-9]|0[1-9][0-9]{2}|[1-9][0-9]{3}))(?!02-3[01]|02-30|04-3[01]|06-3[01]|09-3[01]|11-3[01]|02-29|04-31|06-31|09-31|11-31)\\d{4}",
-      re2Safe = false),
+      Some(NeverMatches)),
     SubRule("date", "plage irrealiste DD/MM/YY(YY)",
+      // the year lookahead rejects every 4-digit continuation, so the
+      // rule fires exactly on 2-3-digit years not followed by a digit
       "(0[1-9]|[12][0-9]|3[01])/(0[1-9]|1[0-2])/(?!(00|0[1-9])\\d{2}|[1-9]\\d{3})\\d{2,4}",
-      re2Safe = false),
+      Some("(0[1-9]|[12][0-9]|3[01])/(0[1-9]|1[0-2])/\\d{2,3}([^0-9]|$)")),
     SubRule("date", "plage irrealiste DD MMM YY",
       "(0[1-9]|[12][0-9]|3[01])\\s+(Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)\\s+(?!(00|0[1-9])\\d{2}|[1-9]\\d{3})\\d{2}",
-      re2Safe = false),
+      Some("(0[1-9]|[12][0-9]|3[01])\\s+(Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)\\s+\\d{2}(\\d([^0-9]|$)|[^0-9]|$)")),
     SubRule("numerique", "erreur de format dans le chiffre",
-      "^\\d+(?:\\.\\d+)?$", re2Safe = true)
+      "^\\d+(?:\\.\\d+)?$")
   )
 
   def subRuleFlag(c: Column, r: SubRule): Column = c.rlike(r.regex)

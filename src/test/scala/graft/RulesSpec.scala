@@ -164,4 +164,31 @@ class RulesSpec extends AnyFunSuite {
     assert(s(0).scrub_counts == Map("email" -> 1, "phone" -> 1, "key" -> 1, "slur" -> 1))
     assert(s(1).scrubbed_text == "noted: I will not share it")
   }
+
+  test("sub-rule RE2 rewrites == Java lookahead originals (date rules)") {
+    // exhaustive-ish corpus: every fixture-style day/month/year shape
+    // plus adversarial digit runs around the year boundaries
+    import java.util.regex.Pattern
+    val days = Seq("00", "01", "15", "29", "31", "32", "45", "99")
+    val months = Seq("00", "01", "02", "04", "09", "11", "12", "13")
+    val years = Seq("0000", "9999", "0001", "1999", "99", "999", "00", "09",
+      "123", "12345", "99990")
+    val seps = Seq("-", "/", " ")
+    val mons = Seq("Jan", "Mar", "Dec", "Foo")
+    val corpus =
+      (for { d <- days; m <- months; y <- years; s <- seps }
+        yield Seq(s"$y$s$m$s$d", s"$d$s$m$s$y", s"$m$s$d$s$y")).flatten ++
+      (for { d <- days; mo <- mons; y <- years }
+        yield s"$d $mo $y") ++
+      Seq("x2020-01-45y", "12020-01-45", "2020-01-451", "31/12/99x",
+        "31/12/9991", "01 Jan 991", "01 Jan 99 ", "a01 Jan 123b")
+    graft.ops.SemanticTypes.subRules.filter(_.re2Override.isDefined).foreach { r =>
+      val orig = Pattern.compile(r.regex)
+      val re2 = Pattern.compile(r.re2)
+      corpus.foreach { v =>
+        assert(orig.matcher(v).find() == re2.matcher(v).find(),
+          s"rule '${r.name}' diverges on '$v': java=${orig.matcher(v).find()} re2=${re2.matcher(v).find()}")
+      }
+    }
+  }
 }
