@@ -103,4 +103,31 @@ class PipelinePlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,40)]") ||
       p.contains("LessThan(doc_id,40)"), p)
   }
+
+  test("doc pipeline: no shuffle exchange carries the text column") {
+    // round 2 ranked exact dups with a window over xxhash64(text),
+    // shuffling every full-text row; the exactSurvivors shape moves
+    // only (hash, id) and joins tiny flag tables back broadcast
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.ops.DocPipeline.label(docs)
+    val offenders = df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeLike if e.output.exists(_.name == "text") => e
+    }
+    assert(offenders.isEmpty,
+      s"text rides a shuffle:\n${offenders.mkString("\n")}")
+  }
+
+  test("skew split routes giants via InSet filters, not anti/semi joins") {
+    val ds = TranscriptGen.generate(spark, 60, 1L, 500)
+    val df = graft.pipeline.SkewSplit.label(ds, maxTurns = 64)
+    val p = plan(df)
+    // the giant branch keeps its (tiny) boundary/vote joins; the SPLIT
+    // itself — round 2's LeftAnti/LeftSemi against the census — must be
+    // plain filters over the one tagged scan
+    assert(!p.contains("LeftAnti") && !p.contains("LeftSemi"),
+      s"split still joins:\n$p")
+    assert(p.contains("INSET") || p.contains("isin") || p.contains("IN ("),
+      s"expected InSet filters in:\n$p")
+  }
 }
