@@ -76,7 +76,7 @@ object SkewSplit {
     * conversations (id set too large to inline): two broadcast joins
     * against the census output.
     */
-  private def labelViaJoins(ds: Dataset[graft.schema.Turn], maxTurns: Int): DataFrame = {
+  private[graft] def labelViaJoins(ds: Dataset[graft.schema.Turn], maxTurns: Int): DataFrame = {
     val spark = ds.sparkSession
     import spark.implicits._
     val sizes = ds.groupBy($"conv_id").agg(count(lit(1)).as("n_turns"))

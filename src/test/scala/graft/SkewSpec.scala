@@ -67,4 +67,17 @@ class SkewSpec extends AnyFunSuite {
     assert(turns.exists(t => t.ts == null && t.turn_idx % 25 != 0),
       "fixture must contain an in-bucket null-ts predecessor")
   }
+
+  test("join-based fallback split (many giants) == InSet split == oracle") {
+    // the fallback path for giant counts above the InSet guard is
+    // behavior-equivalent to the default split
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val turns = TranscriptGen.generateLocal(120, seed = 55, skewCap = 400)
+    val ds = spark.createDataset(turns).repartition(5)
+    val expected = OracleFilter.run(turns).map(normalize)
+    val viaJoins = graft.pipeline.SkewSplit.labelViaJoins(ds, 25).as[LabeledTurn]
+      .collect().sortBy(t => (t.conv_id, t.turn_idx)).map(normalize)
+    assert(viaJoins.toSeq == expected)
+  }
 }
