@@ -1014,6 +1014,64 @@ object SparkEntry {
         .orderBy(col("conv_id"), col("turn_idx"))
     }),
 
+    "qf2_metrics_oracle" -> ((s, _) => {
+      // A13 lineage roll-up, independently re-derived: label from a
+      // persisted ScoredTurn seam, run the Metrics.ruleLineage
+      // aggregation (bucketed), and report per-rule totals; the oracle
+      // recomputes the same totals from the seam via RulesSql (bucket
+      // keys are xxhash64 — checked implicitly by the totals)
+      import s.implicits._
+      val scored = QualityFilter.score(
+        TranscriptGen.generate(s, 500, seed = 42L, skewCap = 2000))
+      persistSeam(scored.toDF(), "qf2_scored")
+      val labeled = QualityFilter.labelScored(
+        s.read.parquet(oracleSeam("qf2_scored")).as[graft.schema.ScoredTurn])
+      graft.metrics.Metrics.ruleLineage(labeled, nBuckets = 8)
+        .groupBy(col("rule"))
+        .agg(sum(col("n_dropped")).cast("long").as("n_dropped"))
+        .orderBy(col("rule"))
+    }),
+
+    "st1_streaming_batch_parity" -> ((s, _) => {
+      // §2.9: stateful streaming (flatMapGroupsWithState) must produce
+      // the batch pipeline's labels with conversations split MID-STREAM
+      // across micro-batches; the oracle predicts the equality booleans
+      // (the dd3 pattern — a streaming regression flips the bit and
+      // fails the hash compare)
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      def t(c: String, i: Int, role: String, text: String, ms: Long) =
+        graft.schema.Turn(c, i, role, text, null, new java.sql.Timestamp(1700000000000L + ms))
+      val turns = Seq(
+        t("c-1", 0, "user", "the quarterly report is ready for your review today", 0),
+        t("c-1", 1, "assistant", "thanks for the update on the quarterly report", 60000),
+        t("c-1", 2, "user", "the quarterly report is ready for your review today", 120000),
+        t("c-2", 0, "user", "could you summarize the meeting notes from tuesday", 0),
+        t("c-2", 2, "assistant", "here is the summary of the meeting notes", 60000),
+        t("c-3", 0, "user", "let us schedule the next planning session soon", 300000),
+        t("c-3", 1, "assistant", "the planning session works for me on friday", 180000),
+        t("c-4", 5, "user", "this conversation starts at index five somehow and includes alice@example.com", 0))
+      val input = MemoryStream[graft.schema.Turn]
+      val q = graft.streaming.StreamingFilter.statefulLabel(input.toDS())
+        .writeStream.format("memory").queryName("st1_out").outputMode("append").start()
+      input.addData(turns.take(4): _*)
+      q.processAllAvailable()
+      input.addData(turns.drop(4): _*)
+      q.processAllAvailable()
+      q.stop()
+      def canon(df: DataFrame) = df
+        .select(col("conv_id"), col("turn_idx"), col("keep"),
+          concat_ws("|", col("drop_reasons")).as("reasons"), col("scrubbed_text"))
+        .as[(String, Int, Boolean, String, String)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+      val streamed = canon(s.table("st1_out"))
+      val batch = canon(QualityFilter.label(s.createDataset(turns)))
+      s.createDataFrame(Seq((streamed.length.toLong, streamed == batch,
+          streamed.exists(!_._3))))
+        .toDF("n_turns", "stateful_matches_batch", "has_drops")
+    }),
+
     "qf1b_rules_oracle" -> ((s, _) => {
       // The flagship's rules layer, independently re-derived: the
       // mapPartitions model pass (ScoredTurn) is persisted through the
@@ -1764,6 +1822,12 @@ object SparkEntry {
     // ---------------- flagship rules layer over persisted model seams
     "qf1b_rules_oracle" ->
       graft.oracle.RulesSql.relabelSql(oracleSeamGlob("qf1b_scored")),
+
+    "qf2_metrics_oracle" ->
+      graft.oracle.RulesSql.ruleCountsSql(oracleSeamGlob("qf2_scored")),
+
+    "st1_streaming_batch_parity" ->
+      "SELECT CAST(8 AS BIGINT) AS n_turns, true AS stateful_matches_batch, true AS has_drops",
 
     "lid1_langid_docs" ->
       s"""SELECT pred_lang, count(*) AS n, round(sum(conf), 4) AS sum_conf

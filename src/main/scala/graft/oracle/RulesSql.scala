@@ -80,11 +80,10 @@ object RulesSql {
     conds
   }
 
-  /** Full re-labeling query over a ScoredTurn parquet directory:
-    * windows → vote → rules → scrub, ending in the qf1 output shape
-    * (conv_id, turn_idx, keep, reasons, scrubbed_text, lang, ppl).
+  /** CTE chain from a ScoredTurn parquet directory to relation `r`
+    * (every ScoredTurn column + `reasons`): windows → vote → rules.
     */
-  def relabelSql(scoredGlob: String): String = {
+  def labelCtes(scoredGlob: String): String = {
     val voteSums = voteLangs.map(l =>
       s"""sum(CASE WHEN $eligibleSql AND lang = ${q(l)} THEN 1 ELSE 0 END)
           OVER (PARTITION BY conv_id) AS cnt_$l""").mkString(",\n           ")
@@ -110,9 +109,28 @@ object RulesSql {
          FROM v),
        r AS (SELECT *, concat_ws('|',
            $reasonCases) AS reasons
-         FROM c)
+         FROM c)"""
+  }
+
+  /** Full re-labeling query over a ScoredTurn parquet directory:
+    * windows → vote → rules → scrub, ending in the qf1 output shape
+    * (conv_id, turn_idx, keep, reasons, scrubbed_text, lang, ppl).
+    */
+  def relabelSql(scoredGlob: String): String =
+    s"""${labelCtes(scoredGlob)}
        SELECT conv_id, turn_idx, (reasons = '') AS keep, reasons,
          ${scrubSql("text")} AS scrubbed_text, lang, round(ppl, 4) AS ppl
        FROM r ORDER BY conv_id, turn_idx"""
-  }
+
+  /** Per-rule drop totals re-derived from the same seam — the
+    * independent check of the Metrics lineage roll-up (bucket keys are
+    * xxhash64-based and not DuckDB-expressible, so the oracle checks
+    * the per-rule totals across buckets).
+    */
+  def ruleCountsSql(scoredGlob: String): String =
+    s"""${labelCtes(scoredGlob)}
+       SELECT rule, CAST(count(*) AS BIGINT) AS n_dropped
+       FROM (SELECT unnest(string_split(reasons, '|')) AS rule
+             FROM r WHERE reasons <> '')
+       GROUP BY rule ORDER BY rule"""
 }

@@ -133,6 +133,26 @@ class OpsSpec extends AnyFunSuite {
     assert(nSim > 0 && nSim <= cap.toLong * (cap - 1) / 2)
   }
 
+  test("hot bucket: lshTopK caps degenerate corpus buckets") {
+    import spark.implicits._
+    // 10k IDENTICAL embeddings hash into one bucket per table — the
+    // round-2 top-k joined queries × full bucket; the cap bounds each
+    // query's candidate set at tables × maxBucket
+    val cap = 64
+    val vec = Array.tabulate(16)(i => (i + 1).toFloat / 16f)
+    val corpus = (0L until 10000L).map(i => (i, vec)).toDF("vec_id", "embedding")
+    val queries = (20000L until 20010L).map(i => (i, vec)).toDF("vec_id", "embedding")
+    val topk = Ann.lshTopK(corpus, queries, k = 5, tables = 4, bits = 8,
+      maxBucket = cap)
+    val rows = topk.collect()
+    assert(rows.length == 10 * 5, s"expected 50 top-k rows, got ${rows.length}")
+    // identical vectors → cosine 1.0 everywhere; deterministic min-id winners
+    assert(rows.forall(_.getDouble(2) == 1.0))
+    // candidate set per query bounded by tables × cap, so the k results
+    // must come from the sorted-prefix sample (smallest ids)
+    assert(rows.forall(_.getLong(1) < cap))
+  }
+
   test("simhash pairs == brute force at maxHamming 8 (chunk count derived)") {
     import spark.implicits._
     // word-swapped variants of a base sentence → intermediate hamming
