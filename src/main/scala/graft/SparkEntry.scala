@@ -1014,6 +1014,47 @@ object SparkEntry {
         .orderBy(col("conv_id"), col("turn_idx"))
     }),
 
+    "cd1_conversation_neardup" -> ((s, _) => {
+      // CONVERSATION-level near-dup: turns → one ordered document per
+      // conversation (Dedup.conversationText) → MinHash-LSH pairs at
+      // 32 bands (exact agreement regime, like dd2b). The conv texts
+      // persist through the oracle seam; DuckDB recomputes brute-force
+      // 3-gram jaccard over them. Clones of every 10th conversation
+      // with every-7th-turn tweaks are the planted near-dups.
+      val base = TranscriptGen.generate(s, 300, seed = 42L, skewCap = 300).toDF()
+      val clones = base
+        .where(pmod(xxhash64(col("conv_id")), lit(10)) === 0)
+        .withColumn("conv_id", concat(lit("d"), col("conv_id")))
+        .withColumn("text",
+          when(col("turn_idx") % 7 === 0, concat(col("text"), lit(" tweaked")))
+            .otherwise(col("text")))
+      val convs = Dedup.conversationText(base.unionByName(clones))
+      persistSeam(convs, "cd1_convs")
+      Dedup.minHashPairs(s.read.parquet(oracleSeam("cd1_convs")),
+          "conv_text", "conv_id", numHashes = 64, bands = 32, shingleK = 3,
+          threshold = 0.7)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "lm1_trigram_counts" -> ((s, dir) => {
+      // distributed LM training as an aggregation: normalized
+      // char-trigram counts over the corpus (the count table IS the
+      // model — NGramLM.trainDistributed consumes exactly these
+      // totals); top-25 fully re-derived by DuckDB
+      val norm = regexp_replace(regexp_replace(regexp_replace(
+        lower(col("text")), "[0-9]", "0"), "[ \\t\\n\\r\\f]", " "),
+        "[^\\u0000-\\u00ff]", "Ā")
+      t(s, dir, "documents").where(col("doc_id") < 200)
+        .select(norm.as("norm"))
+        .select(explode(when(length(col("norm")) >= 3,
+          transform(sequence(lit(1), length(col("norm")) - 2),
+            i => col("norm").substr(i, lit(3))))
+          .otherwise(array())).as("trigram"))
+        .groupBy(col("trigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("trigram")).limit(25)
+    }),
+
     "qf2_metrics_oracle" -> ((s, _) => {
       // A13 lineage roll-up, independently re-derived: label from a
       // persisted ScoredTurn seam, run the Metrics.ruleLineage
@@ -1825,6 +1866,35 @@ object SparkEntry {
 
     "qf2_metrics_oracle" ->
       graft.oracle.RulesSql.ruleCountsSql(oracleSeamGlob("qf2_scored")),
+
+    "cd1_conversation_neardup" ->
+      s"""WITH w AS (SELECT conv_id,
+             list_filter(string_split_regex(lower(conv_text), '\\s+'), x -> x <> '') AS toks
+           FROM '${oracleSeamGlob("cd1_convs")}'
+           WHERE conv_text IS NOT NULL AND length(trim(conv_text)) > 0),
+         sh AS (SELECT conv_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS g
+           FROM w),
+         p AS (SELECT a.conv_id AS id_a, b.conv_id AS id_b,
+             CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+               (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS j
+           FROM sh a JOIN sh b ON a.conv_id < b.conv_id)
+         SELECT id_a, id_b, round(j, 6) AS jaccard FROM p
+         WHERE j >= 0.7 ORDER BY id_a, id_b""",
+
+    "lm1_trigram_counts" ->
+      """WITH d AS (SELECT regexp_replace(regexp_replace(regexp_replace(
+             lower(text), '[0-9]', '0', 'g'), '[ \t\n\r\f]', ' ', 'g'),
+             '[^\x00-\xff]', 'Ā', 'g') AS norm
+           FROM documents WHERE doc_id < 200),
+         g AS (SELECT unnest(CASE WHEN length(norm) >= 3
+             THEN list_transform(generate_series(1, length(norm) - 2),
+               i -> substr(norm, CAST(i AS INTEGER), 3))
+             ELSE [] END) AS trigram
+           FROM d)
+         SELECT trigram, count(*) AS n FROM g
+         GROUP BY trigram ORDER BY n DESC, trigram LIMIT 25""",
 
     "st1_streaming_batch_parity" ->
       "SELECT CAST(8 AS BIGINT) AS n_turns, true AS stateful_matches_batch, true AS has_drops",

@@ -124,10 +124,24 @@ object NGramLM {
     (keys, vals, mask)
   }
 
+  private def build(grams: mutable.LongMap[Long], ctxs: mutable.LongMap[Long],
+                    vocabSize: Int, k: Double): NGramLM = {
+    // +1 for unseen chars (everything normalizes into a small alphabet)
+    val v = math.max(vocabSize + 1, 2)
+    val gramLogs = mutable.LongMap.empty[Double]
+    grams.foreach { case (key, n) => gramLogs(key) = StrictMath.log(n + k) }
+    val ctxLogs = mutable.LongMap.empty[Double]
+    ctxs.foreach { case (key, n) => ctxLogs(key) = StrictMath.log(n + k * v) }
+    val (gk, gv, gm) = buildTable(gramLogs)
+    val (ck, cv, cm) = buildTable(ctxLogs)
+    new NGramLM(gk, gv, ck, cv, gm, cm,
+      StrictMath.log(k), StrictMath.log(k * v), v, k)
+  }
+
   /** Train from corpus lines; k = add-k smoothing constant. */
   def train(lines: Seq[String], k: Double = 0.1): NGramLM = {
-    val grams = new mutable.LongMap[Int]()
-    val ctxs = new mutable.LongMap[Int]()
+    val grams = new mutable.LongMap[Long]()
+    val ctxs = new mutable.LongMap[Long]()
     val vocab = new mutable.HashSet[Char]()
     lines.foreach { line =>
       var c1 = Boundary
@@ -138,22 +152,69 @@ object NGramLM {
         vocab += c
         val ctx = (c1.toLong << 16) | c2.toLong
         val gram = (ctx << 16) | c.toLong
-        grams.update(gram, grams.getOrElse(gram, 0) + 1)
-        ctxs.update(ctx, ctxs.getOrElse(ctx, 0) + 1)
+        grams.update(gram, grams.getOrElse(gram, 0L) + 1)
+        ctxs.update(ctx, ctxs.getOrElse(ctx, 0L) + 1)
         c1 = c2
         c2 = c
         i += 1
       }
     }
-    // +1 for unseen chars (everything normalizes into a small alphabet)
-    val v = math.max(vocab.size + 1, 2)
-    val gramLogs = mutable.LongMap.empty[Double]
-    grams.foreach { case (key, n) => gramLogs(key) = StrictMath.log(n + k) }
-    val ctxLogs = mutable.LongMap.empty[Double]
-    ctxs.foreach { case (key, n) => ctxLogs(key) = StrictMath.log(n + k * v) }
-    val (gk, gv, gm) = buildTable(gramLogs)
-    val (ck, cv, cm) = buildTable(ctxLogs)
-    new NGramLM(gk, gv, ck, cv, gm, cm,
-      StrictMath.log(k), StrictMath.log(k * v), v, k)
+    build(grams, ctxs, vocab.size, k)
+  }
+
+  // tagged count keys for the distributed trainer: gram keys use 48
+  // bits, so (key << 2) | kind fits a Long
+  private final val KindGram = 0L
+  private final val KindCtx = 1L
+  private final val KindVocab = 2L
+
+  /** Distributed training: per-partition LongMap pre-aggregation →
+    * one (key, count) shuffle (map-side combined by the final groupBy)
+    * → exact integer totals to the driver → IDENTICAL model to
+    * [[train]] on the same lines (integer counts are order-independent;
+    * the log tables are built on the driver exactly as in train).
+    * Count cardinality is bounded by the normalized alphabet
+    * (≤ ~260³ grams), not the corpus size.
+    */
+  def trainDistributed(ds: org.apache.spark.sql.Dataset[String], k: Double = 0.1): NGramLM = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val rows = ds.mapPartitions { it =>
+      val m = new mutable.LongMap[Long]()
+      it.foreach { line =>
+        if (line != null) {
+          var c1 = Boundary
+          var c2 = Boundary
+          var i = 0
+          while (i < line.length) {
+            val c = norm(line.charAt(i))
+            val ctx = (c1.toLong << 16) | c2.toLong
+            val gram = (ctx << 16) | c.toLong
+            m.update((gram << 2) | KindGram, m.getOrElse((gram << 2) | KindGram, 0L) + 1)
+            m.update((ctx << 2) | KindCtx, m.getOrElse((ctx << 2) | KindCtx, 0L) + 1)
+            m.update((c.toLong << 2) | KindVocab, 1L)
+            c1 = c2
+            c2 = c
+            i += 1
+          }
+        }
+      }
+      m.iterator
+    }.toDF("tk", "n")
+      .groupBy(org.apache.spark.sql.functions.col("tk"))
+      .agg(org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.col("n")).as("n"))
+      .as[(Long, Long)]
+      .collect()
+    val grams = mutable.LongMap.empty[Long]
+    val ctxs = mutable.LongMap.empty[Long]
+    var vocab = 0
+    rows.foreach { case (tk, n) =>
+      (tk & 3L) match {
+        case KindGram => grams(tk >>> 2) = n
+        case KindCtx => ctxs(tk >>> 2) = n
+        case _ => vocab += 1
+      }
+    }
+    build(grams, ctxs, vocab, k)
   }
 }

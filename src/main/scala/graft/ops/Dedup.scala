@@ -153,6 +153,27 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** One text document per conversation: turns concatenated in
+    * turn_idx order (array_sort on (turn_idx, text) structs — pure
+    * codegen, no window). Feed the result to [[minHashPairs]] for
+    * CONVERSATION-level near-dup detection — the transcript analog of
+    * document dedup.
+    *
+    * Scale note: forming conversation documents is one groupBy(conv_id)
+    * shuffle of the text — inherent to the definition. At the 10^12-turn
+    * tier, run it on the already-conv-partitioned output of the quality
+    * filter (no extra exchange), or push the MinHash down to turn level:
+    * min-combining per-turn signatures equals the signature of the
+    * shingle-set union (only boundary-crossing shingles are lost), which
+    * shuffles 64 longs per conversation instead of its full text.
+    */
+  def conversationText(turns: DataFrame, convCol: String = "conv_id",
+                       idxCol: String = "turn_idx", textCol: String = "text"): DataFrame =
+    turns.groupBy(col(convCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col(idxCol), col(textCol).as("t")))),
+        x => x.getField("t")), " ").as("conv_text"))
+
   /** N-gram Jaccard between explicit row pairs (consecutive ids) — the
     * exhaustive small-scale verifier used in tests and as a DuckDB-
     * checkable query (char-set Jaccard variant lives in SparkEntry).

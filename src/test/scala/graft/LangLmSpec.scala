@@ -71,4 +71,19 @@ class LangLmSpec extends AnyFunSuite {
     val lm = NGramLM.train(Seq("abc abc abd"), 0.1)
     assert(lm.perplexity("abc") == lm.perplexity("abc"))
   }
+
+  test("trainDistributed == train exactly (same counts, same logs)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val lines = SeedCorpus.en ++ SeedCorpus.fr ++ SeedCorpus.code
+    val local = NGramLM.train(lines)
+    val dist = NGramLM.trainDistributed(
+      spark.createDataset(lines).repartition(7))
+    val probes = lines.take(20) ++ Seq("zzz unseen trigrams 123", "", "Ā mixed ÿ")
+    probes.foreach { t =>
+      assert(local.logProb(t) == dist.logProb(t), s"logProb diverges on: $t")
+      assert(local.perplexity(t) == dist.perplexity(t))
+    }
+    assert(local.vocabSize == dist.vocabSize)
+  }
 }
