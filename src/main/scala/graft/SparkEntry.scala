@@ -475,13 +475,15 @@ object SparkEntry {
     }),
 
     "a8_outlier_iqr" -> ((s, dir) => {
+      // exact IQR fences via distributed selection (graft.ops.Stats) —
+      // Spark's `percentile` sorts every value inside ONE aggregation
+      // buffer, which is the whole job at 10^12 rows; the histogram
+      // selection keeps exactness with partial-agg passes only
       val li = t(s, dir, "lineitem")
-      val q = li.agg(
-        percentile(col("l_extendedprice"), lit(0.25)).as("q1"),
-        percentile(col("l_extendedprice"), lit(0.75)).as("q3"))
-      li.crossJoin(q)
-        .where(col("l_extendedprice") < col("q1") - (col("q3") - col("q1")) * 1.5 ||
-               col("l_extendedprice") > col("q3") + (col("q3") - col("q1")) * 1.5)
+      val qs = graft.ops.Stats.exactPercentiles(li, "l_extendedprice", Seq(0.25, 0.75))
+      val (q1, q3) = (qs(0), qs(1))
+      li.where(col("l_extendedprice") < lit(q1 - (q3 - q1) * 1.5) ||
+               col("l_extendedprice") > lit(q3 + (q3 - q1) * 1.5))
         .agg(count(lit(1)).as("n_outliers"))
     }),
 
@@ -526,13 +528,14 @@ object SparkEntry {
 
     "c2_outlier_impute" -> ((s, dir) => {
       // C2/C13: replace IQR outliers by the column mean (and median
-      // variant), computed from 1-row stats (no driver loop)
+      // variant); quartiles/median via the distributed exact selection
+      // (see a8), mean as a 1-row agg
       val li = t(s, dir, "lineitem")
-      val stats = li.agg(
-        percentile(col("l_extendedprice"), lit(0.25)).as("q1"),
-        percentile(col("l_extendedprice"), lit(0.75)).as("q3"),
-        round(avg(col("l_extendedprice")), 2).as("mu"),
-        round(percentile(col("l_extendedprice"), lit(0.5)), 2).as("med"))
+      val qs = graft.ops.Stats.exactPercentiles(li, "l_extendedprice", Seq(0.25, 0.5, 0.75))
+      val stats = li.agg(round(avg(col("l_extendedprice")), 2).as("mu"))
+        .withColumn("q1", lit(qs(0)))
+        .withColumn("q3", lit(qs(2)))
+        .withColumn("med", round(lit(qs(1)), 2))
       val lo = col("q1") - (col("q3") - col("q1")) * 1.5
       val hi = col("q3") + (col("q3") - col("q1")) * 1.5
       val isOut = col("l_extendedprice") < lo || col("l_extendedprice") > hi
