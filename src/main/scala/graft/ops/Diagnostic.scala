@@ -135,7 +135,11 @@ object Diagnostic {
         val intCols = spec.types.collect { case (c, "integer") => c }
         intCols.map { cName =>
           val stats = df.agg(
-            percentile(col(cName), lit(0.25)).as("__q1"),
+            // NOTE: built-in exact percentile (single aggregation buffer)
+        // is fine here — this path mirrors the reference's interactive
+        // per-table corrections; for corpus-scale columns use
+        // graft.ops.Stats.exactPercentiles (distributed selection)
+        percentile(col(cName), lit(0.25)).as("__q1"),
             percentile(col(cName), lit(0.75)).as("__q3"))
           val iqr = col("__q3") - col("__q1")
           df.crossJoin(broadcast(stats))

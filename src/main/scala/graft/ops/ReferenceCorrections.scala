@@ -101,6 +101,10 @@ object ReferenceCorrections {
     // UPDATE-with-AVG cast)
     val s2 = colsOf(spec, "integer").foldLeft(s1) { (d, cName) =>
       val stats = d.agg(
+        // NOTE: built-in exact percentile (single aggregation buffer)
+        // is fine here — this path mirrors the reference's interactive
+        // per-table corrections; for corpus-scale columns use
+        // graft.ops.Stats.exactPercentiles (distributed selection)
         percentile(col(cName), lit(0.25)).as("__q1"),
         percentile(col(cName), lit(0.75)).as("__q3"),
         avg(col(cName)).as("__mean"))
