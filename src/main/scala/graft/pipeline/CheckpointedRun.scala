@@ -56,8 +56,27 @@ object CheckpointedRun {
     }
     val todo = (0 until nBuckets).filterNot(done)
 
+    // ONE census over the remaining corpus locates giant conversations
+    // for every to-do bucket (SkewSplit would otherwise census per
+    // bucket — nBuckets extra full-input jobs); buckets with no giants
+    // run the standard path with zero split overhead
+    val giantsByBucket: Map[Int, Array[String]] =
+      if (skewMaxTurns <= 0 || todo.isEmpty) Map.empty
+      else {
+        import input.sparkSession.implicits._
+        input.groupBy(col("conv_id")).agg(count(lit(1)).as("n_turns"))
+          .where(col("n_turns") > skewMaxTurns)
+          .select(col("conv_id"), bucket.cast("int").as("b"))
+          .as[(String, Int)].collect()
+          .groupBy(_._2).map { case (b, rows) => b -> rows.map(_._1) }
+      }
+
     todo.foreach { b =>
-      val labeled = QualityFilter.label(input.where(bucket === b), skewMaxTurns)
+      val bucketInput = input.where(bucket === b)
+      val labeled =
+        if (skewMaxTurns <= 0) QualityFilter.label(bucketInput)
+        else SkewSplit.labelWithGiants(bucketInput, skewMaxTurns,
+          giantsByBucket.getOrElse(b, Array.empty))
       table.commitBucket(labeled, b)
       metricTables.foreach { case (statsT, lineageT) =>
         // metrics read the bucket's COMMITTED parquet back instead of

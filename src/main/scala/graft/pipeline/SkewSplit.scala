@@ -59,8 +59,19 @@ object SkewSplit {
       .where($"n_turns" > maxTurns).select($"conv_id")
       .as[String].collect()
 
-    if (giantIds.isEmpty) return QualityFilter.label(ds)
     if (giantIds.length > MaxCollectedGiants) return labelViaJoins(ds, maxTurns)
+    labelWithGiants(ds, maxTurns, giantIds)
+  }
+
+  /** Label with a PRE-COMPUTED giant-conversation id set — lets a
+    * bucketed runner (CheckpointedRun) census the whole corpus ONCE and
+    * route each bucket without its own census job; a bucket whose giant
+    * set is empty takes the standard path with zero split overhead.
+    */
+  def labelWithGiants(ds: Dataset[graft.schema.Turn], maxTurns: Int,
+                      giantIds: Array[String]): DataFrame = {
+    import ds.sparkSession.implicits._
+    if (giantIds.isEmpty) return QualityFilter.label(ds)
 
     val inGiants = $"conv_id".isin(giantIds.toSeq: _*)
     // null conv_id routes to the normal path (mirrors left_anti, which
