@@ -1024,18 +1024,23 @@ object SparkEntry {
       // persist through the oracle seam; DuckDB recomputes brute-force
       // 3-gram jaccard over them. Clones of every 10th conversation
       // with every-7th-turn tweaks are the planted near-dups.
-      val base = TranscriptGen.generate(s, 300, seed = 42L, skewCap = 300).toDF()
-      val clones = base
-        .where(pmod(xxhash64(col("conv_id")), lit(10)) === 0)
-        .withColumn("conv_id", concat(lit("d"), col("conv_id")))
-        .withColumn("text",
-          when(col("turn_idx") % 7 === 0, concat(col("text"), lit(" tweaked")))
-            .otherwise(col("text")))
-      val convs = Dedup.conversationText(base.unionByName(clones))
+      val convs = Dedup.conversationText(clonedTranscripts(s))
       persistSeam(convs, "cd1_convs")
       Dedup.minHashPairs(s.read.parquet(oracleSeam("cd1_convs")),
           "conv_text", "conv_id", numHashes = 64, bands = 32, shingleK = 3,
           threshold = 0.7)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "cd2_conversation_neardup_nosort" -> ((s, _) => {
+      // the SCALE path for cd1: per-turn signatures min-combined per
+      // conversation — no conversation text ever shuffled; exact verify
+      // restricted to LSH candidates. Same corpus, same threshold, same
+      // oracle ground truth as cd1 (pair lists must agree with brute
+      // force over the cd1 seam).
+      Dedup.conversationMinHashPairs(clonedTranscripts(s),
+          numHashes = 64, bands = 32, shingleK = 3, threshold = 0.7)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -1330,6 +1335,22 @@ object SparkEntry {
     })
   )
 
+  /** Transcript corpus with planted conversation-level near-dups:
+    * every 10th conversation cloned under a "d"-prefixed id with every
+    * 7th turn's text tweaked (shared by cd1/cd2 so both run against the
+    * same ground truth).
+    */
+  private def clonedTranscripts(s: SparkSession): DataFrame = {
+    val base = TranscriptGen.generate(s, 300, seed = 42L, skewCap = 300).toDF()
+    val clones = base
+      .where(pmod(xxhash64(col("conv_id")), lit(10)) === 0)
+      .withColumn("conv_id", concat(lit("d"), col("conv_id")))
+      .withColumn("text",
+        when(col("turn_idx") % 7 === 0, concat(col("text"), lit(" tweaked")))
+          .otherwise(col("text")))
+    base.unionByName(clones)
+  }
+
   /** Deterministic clustered ANN fixture derived from the embeddings
     * table: 20 base vectors (the queries) + 5 additively-jittered
     * members each (recall on structureless random vectors is
@@ -1362,6 +1383,26 @@ object SparkEntry {
              CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
                (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS j
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)"""
+
+  /** Brute-force conversation-text jaccard over the cd1 seam — the
+    * shared ground truth for cd1 (text-level LSH) and cd2
+    * (min-combined turn-level signatures).
+    */
+  private def convNearDupBruteSql: String =
+    s"""WITH w AS (SELECT conv_id,
+             list_filter(string_split_regex(lower(conv_text), '\\s+'), x -> x <> '') AS toks
+           FROM '${oracleSeamGlob("cd1_convs")}'
+           WHERE conv_text IS NOT NULL AND length(trim(conv_text)) > 0),
+         sh AS (SELECT conv_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS g
+           FROM w),
+         p AS (SELECT a.conv_id AS id_a, b.conv_id AS id_b,
+             CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+               (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS j
+           FROM sh a JOIN sh b ON a.conv_id < b.conv_id)
+         SELECT id_a, id_b, round(j, 6) AS jaccard FROM p
+         WHERE j >= 0.7 ORDER BY id_a, id_b"""
 
   def oracleSql: Map[String, String] = Map(
     "a1_count_rows" ->
@@ -1870,21 +1911,12 @@ object SparkEntry {
     "qf2_metrics_oracle" ->
       graft.oracle.RulesSql.ruleCountsSql(oracleSeamGlob("qf2_scored")),
 
-    "cd1_conversation_neardup" ->
-      s"""WITH w AS (SELECT conv_id,
-             list_filter(string_split_regex(lower(conv_text), '\\s+'), x -> x <> '') AS toks
-           FROM '${oracleSeamGlob("cd1_convs")}'
-           WHERE conv_text IS NOT NULL AND length(trim(conv_text)) > 0),
-         sh AS (SELECT conv_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-             ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
-               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS g
-           FROM w),
-         p AS (SELECT a.conv_id AS id_a, b.conv_id AS id_b,
-             CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
-               (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS j
-           FROM sh a JOIN sh b ON a.conv_id < b.conv_id)
-         SELECT id_a, id_b, round(j, 6) AS jaccard FROM p
-         WHERE j >= 0.7 ORDER BY id_a, id_b""",
+    "cd1_conversation_neardup" -> convNearDupBruteSql,
+
+    // cd2's min-combined-signature path must land on the SAME pair list
+    // as cd1 (verify is over identical conversation text; candidate
+    // recall at 32 bands covers every ≥-threshold pair on this corpus)
+    "cd2_conversation_neardup_nosort" -> convNearDupBruteSql,
 
     "lm1_trigram_counts" ->
       """WITH d AS (SELECT regexp_replace(regexp_replace(regexp_replace(

@@ -174,6 +174,58 @@ object Dedup {
         array_sort(collect_list(struct(col(idxCol), col(textCol).as("t")))),
         x => x.getField("t")), " ").as("conv_text"))
 
+  /** Conversation-level near-dup WITHOUT shuffling text — the 10^12-turn
+    * path promised in [[conversationText]]'s scale note:
+    *
+    *  1. per-turn MinHash signatures (map-side, codegen expression);
+    *  2. element-wise min per conversation (numHashes longs per turn
+    *     ride the shuffle instead of the text — min is associative/
+    *     commutative, so partial aggregation applies, and
+    *     min-of-turn-minhashes == minhash of the UNION of the turns'
+    *     shingle sets; only turn-boundary-crossing shingles are
+    *     unrepresented);
+    *  3. banded bucket join over the combined signatures (capped, as
+    *     everywhere);
+    *  4. EXACT verify on candidates only: conversation text is built
+    *     just for candidate conversations (left-semi on the tiny
+    *     candidate id set), so the final jaccard matches
+    *     [[conversationText]]+[[minHashPairs]] semantics while the
+    *     full-corpus stages never touch concatenated text.
+    */
+  def conversationMinHashPairs(turns: DataFrame, convCol: String = "conv_id",
+                               idxCol: String = "turn_idx", textCol: String = "text",
+                               numHashes: Int = 64, bands: Int = 32,
+                               shingleK: Int = 3, threshold: Double = 0.7,
+                               maxBucket: Int = 256): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val perTurn = turns
+      .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(convCol).as("cid"),
+        min_hash_sig(col(textCol), numHashes, shingleK).as("sig"))
+    val convSig = perTurn.groupBy(col("cid"))
+      .agg(array((0 until numHashes).map(i =>
+        min(get(col("sig"), lit(i)))): _*).as("sig"))
+    val banded = convSig
+      .select(col("cid"), posexplode(array((0 until bands).map(b =>
+        xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b))): _*)))
+      .select(col("pos").as("band"), col("col").as("bucket"), col("cid"))
+    val cand = lshBucketPairs(banded, Seq("band", "bucket"), col("cid"),
+        maxBucket, "cd2")
+      .distinct()
+    val candIds = cand.select(col("id_a").as("cid"))
+      .unionByName(cand.select(col("id_b").as("cid"))).distinct()
+    val candTurns = turns.join(broadcast(candIds),
+      turns(convCol) === candIds("cid"), "left_semi")
+    val candText = conversationText(candTurns, convCol, idxCol, textCol)
+    cand
+      .join(candText.select(col(convCol).as("id_a"), col("conv_text").as("ta")), Seq("id_a"))
+      .join(candText.select(col(convCol).as("id_b"), col("conv_text").as("tb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        ngram_jaccard(col("ta"), col("tb"), shingleK).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** N-gram Jaccard between explicit row pairs (consecutive ids) — the
     * exhaustive small-scale verifier used in tests and as a DuckDB-
     * checkable query (char-set Jaccard variant lives in SparkEntry).
