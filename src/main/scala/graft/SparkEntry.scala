@@ -1908,6 +1908,13 @@ object SparkEntry {
     "qf1b_rules_oracle" ->
       graft.oracle.RulesSql.relabelSql(oracleSeamGlob("qf1b_scored")),
 
+    // the flagship itself shares qf1b's oracle: qf1 labels
+    // score(generate(500, 42)) directly and qf1b labels the persisted
+    // read-back of the SAME deterministic scoring pass, so their outputs
+    // are identical by construction (scoring is pure per-row)
+    "qf1_quality_filter" ->
+      graft.oracle.RulesSql.relabelSql(oracleSeamGlob("qf1b_scored")),
+
     "qf2_metrics_oracle" ->
       graft.oracle.RulesSql.ruleCountsSql(oracleSeamGlob("qf2_scored")),
 

@@ -30,7 +30,9 @@ import org.apache.spark.sql.functions._
 object Stats {
 
   /** Exact percentiles of a numeric column (nulls ignored), linear
-    * interpolation on true order statistics.
+    * interpolation on true order statistics. Values must be finite
+    * (NaN/Inf would poison the histogram range — same contract as
+    * DuckDB quantile_cont's ordering).
     */
   def exactPercentiles(df: DataFrame, column: String, ps: Seq[Double],
                        maxCollect: Int = 1 << 20): Seq[Double] = {

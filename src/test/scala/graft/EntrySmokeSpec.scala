@@ -19,8 +19,9 @@ class EntrySmokeSpec extends AnyFunSuite {
     assert(o.subsetOf(q), s"orphan oracles: ${o -- q}")
     val rowsOnly = q -- o
     val expectedRowsOnly = Set(
-      "qf1_quality_filter",      // rules layer hash-checked via qf1b_rules_oracle
-      "mm1_multimodal_features") // stub decoder; mm2 is the real-decode twin
+      "mm1_multimodal_features") // audio/video stub features are not
+                                 // SQL-predictable; mm2 oracle-checks
+                                 // the real image-decode subset
     assert(rowsOnly == expectedRowsOnly,
       s"unexpected rows-only queries: ${rowsOnly -- expectedRowsOnly}; " +
         s"missing: ${expectedRowsOnly -- rowsOnly}")
