@@ -191,4 +191,27 @@ class OpsSpec extends AnyFunSuite {
       math.sqrt(-2 * math.log(u1)) * math.cos(2 * math.Pi * u2)
     }
   }
+
+  test("conversation near-dup: text-free signature path == text path") {
+    import spark.implicits._
+    // different seed and clone pattern than the driver query fixture
+    val base = graft.gen.TranscriptGen.generate(spark, 150, seed = 7L, skewCap = 200).toDF()
+    val clones = base
+      .where(pmod(xxhash64(col("conv_id")), lit(7)) === 1)
+      .withColumn("conv_id", concat(lit("x"), col("conv_id")))
+      .withColumn("text",
+        when(col("turn_idx") % 5 === 2, concat(col("text"), lit(" altered bit")))
+          .otherwise(col("text")))
+    val turns = base.unionByName(clones)
+    val viaText = Dedup.minHashPairs(Dedup.conversationText(turns),
+        "conv_text", "conv_id", numHashes = 64, bands = 32, shingleK = 3,
+        threshold = 0.7)
+      .select(col("id_a"), col("id_b")).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val viaSigs = Dedup.conversationMinHashPairs(turns,
+        numHashes = 64, bands = 32, shingleK = 3, threshold = 0.7)
+      .select(col("id_a"), col("id_b")).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(viaText.nonEmpty, "fixture planted no pairs")
+    assert(viaSigs == viaText,
+      s"missing=${viaText -- viaSigs} extra=${viaSigs -- viaText}")
+  }
 }
