@@ -21,17 +21,68 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** Fixed on-disk seam for oracle-checked model intermediates: a query
-    * persists its non-SQL-expressible stage (model scores, LSH pairs)
-    * here during Verify, and the corresponding DuckDB oracle reads the
-    * same files to re-derive everything downstream independently. A
-    * fixed absolute path because the oracle SQL is a static string.
+  /** Oracle seams: non-SQL-expressible intermediates (model scores, LSH
+    * pair lists, conversation documents) that BOTH a Spark query and its
+    * DuckDB oracle consume. Every seam is written by [[prepareSeams]] —
+    * a fixture stage Verify runs before any query — so no query's oracle
+    * depends on another query's side effects, and running a subset of
+    * queries (or reordering them) stays correct. The root is
+    * per-process: two concurrent Verify sessions cannot cross-
+    * contaminate, and because the oracle SQL strings are rendered in the
+    * same JVM that wrote the seams, query and oracle always agree on the
+    * path. Consumers fail fast via [[readSeam]] when the fixture stage
+    * has not run.
     */
-  private def oracleSeam(name: String): String = s"/tmp/graft_oracle/$name"
+  private val seamRoot: String =
+    sys.env.getOrElse("GRAFT_SEAM_DIR",
+      s"/tmp/graft_oracle_${ProcessHandle.current().pid()}")
+  private def oracleSeam(name: String): String = s"$seamRoot/$name"
   private def oracleSeamGlob(name: String): String = s"${oracleSeam(name)}/*.parquet"
 
+  /** coalesce(1) is HARNESS-ONLY machinery: seams are sf0.01-scale
+    * fixture tables for the DuckDB compare, never a production write
+    * path — production lineage goes through SnapshotTable/Metrics,
+    * which write partitioned.
+    */
   private def persistSeam(df: DataFrame, name: String): Unit =
     df.coalesce(1).write.mode("overwrite").parquet(oracleSeam(name))
+
+  private def readSeam(s: SparkSession, name: String): DataFrame = {
+    require(new java.io.File(oracleSeam(name)).exists(),
+      s"oracle seam '$name' missing under $seamRoot — " +
+        "run SparkEntry.prepareSeams(spark, sfDir) before this query")
+    s.read.parquet(oracleSeam(name))
+  }
+
+  /** The seam fixture stage: computes and persists every oracle seam.
+    * The model passes here (quality-filter scoring, language-ID, doc
+    * scoring, LSH pair generation) ARE the non-SQL-expressible halves of
+    * the corresponding queries; the query bodies then read these
+    * parquet seams back so the Spark result and the DuckDB oracle both
+    * flow through the exact same persisted bytes.
+    */
+  def prepareSeams(s: SparkSession, dir: String): Unit = {
+    // flagship scored-turn seam — qf1/qf1b/qf2 oracles re-derive the
+    // whole rules layer from it via graft.oracle.RulesSql
+    persistSeam(QualityFilter.score(
+      TranscriptGen.generate(s, 500, seed = 42L, skewCap = 2000)).toDF(),
+      "qf_scored")
+    // conversation documents — brute-force ground truth for cd1/cd2
+    persistSeam(Dedup.conversationText(clonedTranscripts(s)), "cd_convs")
+    // bench-parameter LSH pair list — dd2/dd2c precision+recall oracles
+    persistSeam(Dedup.minHashPairs(t(s, dir, "documents"), "text", "doc_id",
+        numHashes = 64, bands = 16, shingleK = 3, threshold = 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard")),
+      "dd2_pairs")
+    // per-doc language-ID scores (lid1)
+    persistSeam(lid1Scores(s, dir), "lid1_scores")
+    // doc-pipeline model scores + near-dup flag ids (dp1)
+    val docs = t(s, dir, "documents")
+    persistSeam(graft.ops.DocPipeline.score(docs)
+      .select(col("doc_id"), col("lang"), col("lang_conf"), col("ppl")),
+      "dp1_scores")
+    persistSeam(graft.ops.DocPipeline.nearDupIds(docs), "dp1_neardups")
+  }
 
   /** Flagship: the quality-filter pipeline over a deterministic
     * synthetic transcript corpus (BASELINE.json north_rule). Driver
@@ -934,35 +985,24 @@ object SparkEntry {
 
     "lid1_langid_docs" -> ((s, dir) => {
       // broadcast-model language-ID over the documents table. The model
-      // itself is not SQL-expressible, but its per-doc output is
-      // persisted through the oracle seam and DuckDB re-derives the
-      // aggregate independently (sum instead of avg: per-row confs are
-      // 4-dp multiples, so the sum is an exact grid point that rounds
+      // pass itself is not SQL-expressible: it runs in prepareSeams and
+      // its per-doc output is the seam; DuckDB re-derives the aggregate
+      // independently (sum instead of avg: per-row confs are 4-dp
+      // multiples, so the sum is an exact grid point that rounds
       // identically in both engines).
-      import s.implicits._
-      val bc = s.sparkContext.broadcast(graft.lang.LangId.default)
-      val scored = t(s, dir, "documents").select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .mapPartitions { it =>
-          val m = bc.value
-          it.map { case (id, text) =>
-            val (l, c) = m.classify(text)
-            (id, l, math.round(c * 10000.0) / 10000.0)
-          }
-        }.toDF("doc_id", "pred_lang", "conf")
-      persistSeam(scored, "lid1_scores")
-      s.read.parquet(oracleSeam("lid1_scores"))
+      readSeam(s, "lid1_scores")
         .groupBy(col("pred_lang"))
         .agg(count(lit(1)).as("n"), round(sum(col("conf")), 4).as("sum_conf"))
         .orderBy(col("pred_lang"))
     }),
 
-    // ------------------------------ multimodal (real image decode path)
+    // ------------------------- multimodal (real image + audio decode)
     "mm1_multimodal_features" -> ((s, dir) => {
       // all three modalities through one featurize pass: image rows are
-      // REAL PNG decode (JDK ImageIO), audio/video remain declared
-      // stubs — hence rows-only here; mm2 is the oracle-checked twin
-      // over the real-decode subset
+      // REAL PNG decode (JDK ImageIO), audio rows REAL WAV decode (JDK
+      // javax.sound.sampled); video remains a declared stub — hence
+      // rows-only here; mm2 (image) and mm3 (audio) are the
+      // oracle-checked twins over the real-decode subsets
       import graft.ops.Multimodal
       val media = Multimodal.synthesize(s,
         t(s, dir, "documents").where(col("doc_id") < 50), "doc_id")
@@ -987,21 +1027,33 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    "mm3_audio_decode" -> ((s, dir) => {
+      // real audio decode: synthesized square-wave WAVs → JDK
+      // javax.sound.sampled → sample rate, duration, RMS loudness; the
+      // oracle predicts all of it from the id arithmetic (a ±A square
+      // wave has RMS exactly A/32768 — see Multimodal.synthAudioParams)
+      import graft.ops.Multimodal
+      val media = Multimodal.synthesize(s,
+        t(s, dir, "documents").where(col("doc_id") < 120 && col("doc_id") % 3 === 1),
+        "doc_id")
+      Multimodal.featurize(media, Multimodal.WavDecoder).toDF()
+        .select(col("media_id"), col("sample_rate"),
+          round(col("duration_ms"), 3).as("duration_ms"),
+          round(col("brightness"), 6).as("rms_loudness"))
+        .orderBy(col("media_id"))
+    }),
+
     "dp1_doc_pipeline" -> ((s, dir) => {
       // model scores + LSH near-dup ids go through the oracle seam; the
       // rules layer (windows/CASE/quality formula) is re-derived by
       // DuckDB over the documents view + the persisted seams
       import graft.ops.DocPipeline
       val docs = t(s, dir, "documents")
-      val scored = DocPipeline.score(docs)
-      persistSeam(scored.select(col("doc_id"), col("lang"),
-        col("lang_conf"), col("ppl")), "dp1_scores")
-      persistSeam(DocPipeline.nearDupIds(docs), "dp1_neardups")
       val scoredBack = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
-        .join(s.read.parquet(oracleSeam("dp1_scores")), Seq("doc_id"))
+        .join(readSeam(s, "dp1_scores"), Seq("doc_id"))
       DocPipeline.labelScored(scoredBack,
           DocPipeline.exactDupIds(docs),
-          s.read.parquet(oracleSeam("dp1_neardups")))
+          readSeam(s, "dp1_neardups"))
         .select(col("doc_id"), col("keep"),
           concat_ws("|", col("drop_reasons")).as("reasons"),
           col("lang"), col("quality"))
@@ -1019,14 +1071,13 @@ object SparkEntry {
 
     "cd1_conversation_neardup" -> ((s, _) => {
       // CONVERSATION-level near-dup: turns → one ordered document per
-      // conversation (Dedup.conversationText) → MinHash-LSH pairs at
-      // 32 bands (exact agreement regime, like dd2b). The conv texts
-      // persist through the oracle seam; DuckDB recomputes brute-force
-      // 3-gram jaccard over them. Clones of every 10th conversation
-      // with every-7th-turn tweaks are the planted near-dups.
-      val convs = Dedup.conversationText(clonedTranscripts(s))
-      persistSeam(convs, "cd1_convs")
-      Dedup.minHashPairs(s.read.parquet(oracleSeam("cd1_convs")),
+      // conversation (Dedup.conversationText, persisted as the cd_convs
+      // seam by prepareSeams) → MinHash-LSH pairs at 32 bands (exact
+      // agreement regime, like dd2b). DuckDB recomputes brute-force
+      // 3-gram jaccard over the same seam. Clones of every 10th
+      // conversation with every-7th-turn tweaks are the planted
+      // near-dups.
+      Dedup.minHashPairs(readSeam(s, "cd_convs"),
           "conv_text", "conv_id", numHashes = 64, bands = 32, shingleK = 3,
           threshold = 0.7)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -1070,11 +1121,8 @@ object SparkEntry {
       // recomputes the same totals from the seam via RulesSql (bucket
       // keys are xxhash64 — checked implicitly by the totals)
       import s.implicits._
-      val scored = QualityFilter.score(
-        TranscriptGen.generate(s, 500, seed = 42L, skewCap = 2000))
-      persistSeam(scored.toDF(), "qf2_scored")
       val labeled = QualityFilter.labelScored(
-        s.read.parquet(oracleSeam("qf2_scored")).as[graft.schema.ScoredTurn])
+        readSeam(s, "qf_scored").as[graft.schema.ScoredTurn])
       graft.metrics.Metrics.ruleLineage(labeled, nBuckets = 8)
         .groupBy(col("rule"))
         .agg(sum(col("n_dropped")).cast("long").as("n_dropped"))
@@ -1123,16 +1171,13 @@ object SparkEntry {
 
     "qf1b_rules_oracle" -> ((s, _) => {
       // The flagship's rules layer, independently re-derived: the
-      // mapPartitions model pass (ScoredTurn) is persisted through the
-      // oracle seam and labeling runs on the READ-BACK rows, so the
-      // DuckDB oracle (graft.oracle.RulesSql: windows + vote + rules +
-      // scrub over the same parquet) checks every decision downstream
-      // of the models by hash. Output shape == qf1.
+      // mapPartitions model pass (ScoredTurn) is persisted as the
+      // qf_scored seam (prepareSeams) and labeling runs on the READ-BACK
+      // rows, so the DuckDB oracle (graft.oracle.RulesSql: windows +
+      // vote + rules + scrub over the same parquet) checks every
+      // decision downstream of the models by hash. Output shape == qf1.
       import s.implicits._
-      val scored = QualityFilter.score(
-        TranscriptGen.generate(s, 500, seed = 42L, skewCap = 2000))
-      persistSeam(scored.toDF(), "qf1b_scored")
-      val back = s.read.parquet(oracleSeam("qf1b_scored")).as[graft.schema.ScoredTurn]
+      val back = readSeam(s, "qf_scored").as[graft.schema.ScoredTurn]
       QualityFilter.labelScored(back)
         .select(col("conv_id"), col("turn_idx"), col("keep"),
           concat_ws("|", col("drop_reasons")).as("reasons"),
@@ -1237,15 +1282,12 @@ object SparkEntry {
 
     "dd2c_minhash_bench_oracle" -> ((s, dir) => {
       // LSH at the BENCH parameters (16 bands × 4 rows, where misses are
-      // possible): emitted pairs go through the oracle seam; DuckDB
-      // re-verifies each against brute force (precision + jaccard value)
-      // and bounds recall at ≥0.9 — the booleans here are the PREDICTED
-      // values the oracle must reproduce
-      val pairs = Dedup.minHashPairs(t(s, dir, "documents"), "text", "doc_id",
-          numHashes = 64, bands = 16, shingleK = 3, threshold = 0.5)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-      persistSeam(pairs, "dd2_pairs")
-      s.read.parquet(oracleSeam("dd2_pairs"))
+      // possible): the emitted pair list is the dd2_pairs seam (written
+      // by prepareSeams with exactly dd2's parameters); DuckDB
+      // re-verifies each pair against brute force (precision + jaccard
+      // value) and bounds recall at ≥0.9 — the booleans here are the
+      // PREDICTED values the oracle must reproduce
+      readSeam(s, "dd2_pairs")
         .select(col("id_a"), col("id_b"), col("jaccard"),
           lit(true).as("in_brute"), lit(true).as("recall_ok"))
         .orderBy(col("id_a"), col("id_b"))
@@ -1335,6 +1377,24 @@ object SparkEntry {
     })
   )
 
+  /** The lid1 model pass: broadcast language-ID over the documents
+    * table, per-doc (pred_lang, conf) — run by [[prepareSeams]], the
+    * non-SQL-expressible half of lid1_langid_docs.
+    */
+  private def lid1Scores(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(graft.lang.LangId.default)
+    t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map { case (id, text) =>
+          val (l, c) = m.classify(text)
+          (id, l, math.round(c * 10000.0) / 10000.0)
+        }
+      }.toDF("doc_id", "pred_lang", "conf")
+  }
+
   /** Transcript corpus with planted conversation-level near-dups:
     * every 10th conversation cloned under a "d"-prefixed id with every
     * 7th turn's text tweaked (shared by cd1/cd2 so both run against the
@@ -1384,14 +1444,14 @@ object SparkEntry {
                (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS j
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)"""
 
-  /** Brute-force conversation-text jaccard over the cd1 seam — the
-    * shared ground truth for cd1 (text-level LSH) and cd2
+  /** Brute-force conversation-text jaccard over the cd_convs fixture
+    * seam — the shared ground truth for cd1 (text-level LSH) and cd2
     * (min-combined turn-level signatures).
     */
   private def convNearDupBruteSql: String =
     s"""WITH w AS (SELECT conv_id,
              list_filter(string_split_regex(lower(conv_text), '\\s+'), x -> x <> '') AS toks
-           FROM '${oracleSeamGlob("cd1_convs")}'
+           FROM '${oracleSeamGlob("cd_convs")}'
            WHERE conv_text IS NOT NULL AND length(trim(conv_text)) > 0),
          sh AS (SELECT conv_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
              ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
@@ -1904,19 +1964,31 @@ object SparkEntry {
          FROM documents WHERE doc_id < 120 AND doc_id % 3 = 0
          ORDER BY media_id""",
 
+    // RMS of a ±A square wave is exactly A/32768 (every sample's square
+    // is the same exactly-representable A²/2³⁰); duration = n/8 ms at
+    // 8 kHz with n ≡ 0 (mod 8) — both pure id arithmetic
+    "mm3_audio_decode" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(100 + 5 * (doc_id % 32) AS DOUBLE) AS duration_ms,
+           round((1024 + (doc_id % 97) * 256) / 32768.0, 6) AS rms_loudness
+         FROM documents WHERE doc_id < 120 AND doc_id % 3 = 1
+         ORDER BY media_id""",
+
     // ---------------- flagship rules layer over persisted model seams
     "qf1b_rules_oracle" ->
-      graft.oracle.RulesSql.relabelSql(oracleSeamGlob("qf1b_scored")),
+      graft.oracle.RulesSql.relabelSql(oracleSeamGlob("qf_scored")),
 
-    // the flagship itself shares qf1b's oracle: qf1 labels
-    // score(generate(500, 42)) directly and qf1b labels the persisted
-    // read-back of the SAME deterministic scoring pass, so their outputs
-    // are identical by construction (scoring is pure per-row)
+    // the flagship's oracle reads the shared qf_scored fixture seam
+    // (prepareSeams): qf1 labels score(generate(500, 42)) directly and
+    // the seam is the persisted output of the SAME deterministic
+    // scoring pass, so relabeling the seam reproduces qf1's output by
+    // construction (scoring is pure per-row)
     "qf1_quality_filter" ->
-      graft.oracle.RulesSql.relabelSql(oracleSeamGlob("qf1b_scored")),
+      graft.oracle.RulesSql.relabelSql(oracleSeamGlob("qf_scored")),
 
     "qf2_metrics_oracle" ->
-      graft.oracle.RulesSql.ruleCountsSql(oracleSeamGlob("qf2_scored")),
+      graft.oracle.RulesSql.ruleCountsSql(oracleSeamGlob("qf_scored")),
 
     "cd1_conversation_neardup" -> convNearDupBruteSql,
 

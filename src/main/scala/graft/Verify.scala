@@ -15,6 +15,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // seam fixture stage FIRST: every oracle seam is written here, so no
+    // query's oracle depends on another query's side effects and a
+    // subset/reordered run stays correct (the seam root is per-process —
+    // see SparkEntry.prepareSeams)
+    SparkEntry.prepareSeams(spark, sfDir)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -164,4 +164,42 @@ class Ops2Spec extends AnyFunSuite {
     assert(stub.sortBy(_.media_id).map(_.brightness).toSeq ==
       fake.sortBy(_.media_id).map(_.brightness).toSeq)
   }
+
+  test("real audio decode: javax.sound round-trips synthesized WAVs exactly") {
+    import spark.implicits._
+    val media = Multimodal.synthesize(spark, spark.range(0, 60).toDF("id"), "id")
+      .filter(_.mime == "audio/wav")
+    val feats = Multimodal.featurize(media, Multimodal.WavDecoder)
+      .collect().sortBy(_.media_id)
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      val (amp, n) = Multimodal.synthAudioParams(f.media_id)
+      assert(f.sample_rate == 8000, s"sample rate of ${f.media_id}")
+      assert(f.duration_ms == n * 1000.0 / 8000.0, s"duration of ${f.media_id}")
+      // ±A square wave → RMS is EXACTLY A/32768 (exactly representable)
+      assert(f.brightness == amp / 32768.0,
+        s"rms of ${f.media_id}: ${f.brightness} vs ${amp / 32768.0}")
+      // constant-amplitude wave → every time-window RMS equals the global
+      f.embedding.foreach(e => assert(math.abs(e - f.brightness) < 1e-6))
+    }
+    // determinism across repartitioning
+    val feats2 = Multimodal.featurize(media.repartition(5), Multimodal.WavDecoder)
+      .collect().sortBy(_.media_id)
+    assert(feats.map(_.brightness).toSeq == feats2.map(_.brightness).toSeq)
+
+    // corrupt payloads and foreign mimes fall back to the stub without
+    // throwing (NonFatal guard): garbage bytes under an audio mime
+    val corrupt = media.map(r => r.copy(payload = r.payload.take(11)))
+    val cf = Multimodal.featurize(corrupt, Multimodal.WavDecoder).collect()
+    val ff = Multimodal.featurize(corrupt, Multimodal.FakeDecoder).collect()
+    assert(cf.sortBy(_.media_id).map(_.brightness).toSeq ==
+      ff.sortBy(_.media_id).map(_.brightness).toSeq)
+    // DefaultDecoder dispatch: image→ImageIO, audio→Wav, video→stub
+    val all = Multimodal.synthesize(spark, spark.range(0, 30).toDF("id"), "id")
+    val byDefault = Multimodal.featurize(all).collect().sortBy(_.media_id)
+    byDefault.foreach { f =>
+      if (f.mime == "audio/wav") assert(f.sample_rate == 8000)
+      else assert(f.sample_rate == 0)
+    }
+  }
 }
