@@ -1043,6 +1043,23 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    "cap1_truncation_metrics" -> ((s, dir) => {
+      // observed hot-bucket truncation surfaced END-TO-END: the dd2
+      // bench-parameter LSH and the ann3 embedding near-dup both cap
+      // degenerate buckets; their capped_buckets/dropped_ids
+      // observations become queryable rows here. The oracle PREDICTS
+      // ZERO truncation on this corpus — if a cap ever silently bites,
+      // this query's hash check fails (and a production metrics table
+      // would show exactly where recall was traded).
+      val pairs = Dedup.minHashPairs(t(s, dir, "documents"), "text", "doc_id",
+        numHashes = 64, bands = 16, shingleK = 3, threshold = 0.5)
+      val ddCaps = graft.metrics.Metrics.truncationMetrics(pairs, Seq("dd2"))
+      val (corpus, _) = clusteredEmbeddings(s, dir)
+      val nd = Ann.cosineNearDupPairs(corpus, 0.9, tables = 16, bits = 4)
+      val annCaps = graft.metrics.Metrics.truncationMetrics(nd, Seq("ann3"))
+      ddCaps.unionByName(annCaps).orderBy(col("source"))
+    }),
+
     "dp1_doc_pipeline" -> ((s, dir) => {
       // model scores + LSH near-dup ids go through the oracle seam; the
       // rules layer (windows/CASE/quality formula) is re-derived by
@@ -1098,9 +1115,13 @@ object SparkEntry {
 
     "lm1_trigram_counts" -> ((s, dir) => {
       // distributed LM training as an aggregation: normalized
-      // char-trigram counts over the corpus (the count table IS the
-      // model — NGramLM.trainDistributed consumes exactly these
-      // totals); top-25 fully re-derived by DuckDB
+      // char-trigram counts over the corpus — the same aggregation
+      // SHAPE as NGramLM.trainDistributed (per-partition pre-agg → one
+      // (gram, count) shuffle; this query's regex normalization and
+      // unpadded grams differ in detail from NGramLM.norm's
+      // Character.isDigit/isWhitespace + boundary markers, so the two
+      // count tables are analogous, not byte-equal); top-25 fully
+      // re-derived by DuckDB
       val norm = regexp_replace(regexp_replace(regexp_replace(
         lower(col("text")), "[0-9]", "0"), "[ \\t\\n\\r\\f]", " "),
         "[^\\u0000-\\u00ff]", "Ā")
@@ -1929,6 +1950,14 @@ object SparkEntry {
          FROM embeddings WHERE vec_id < 20""",
 
     "ann3b_neardup_exact" -> "SELECT true AS exact_match",
+
+    // the oracle-predicted value IS "no truncation on this corpus":
+    // nonzero observed caps flip these cells and fail the hash compare
+    "cap1_truncation_metrics" ->
+      """SELECT * FROM (VALUES
+           ('ann3', CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+           ('dd2',  CAST(0 AS BIGINT), CAST(0 AS BIGINT)))
+         AS t(source, capped_buckets, dropped_ids) ORDER BY source""",
 
     "dd3_simhash_exact" -> "SELECT true AS exact_match",
 

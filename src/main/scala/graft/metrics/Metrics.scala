@@ -54,6 +54,40 @@ object Metrics {
       .agg(count(lit(1)).as("n_turns"), aggs: _*)
   }
 
+  /** Surface the LSH bucket-cap observations (capped_buckets /
+    * dropped_ids emitted by Dedup.lshBucketPairs and Ann.lshTopK via
+    * `observe`) as DATA: one row per source pipeline, so a production
+    * run can SEE recall-affecting truncation in its metrics table
+    * instead of burying it in executor logs. Runs ONE full action on
+    * `df` and reads the metrics off that same QueryExecution — the
+    * observation rides the job, no second pass over the data.
+    *
+    * `sources` are observation prefixes ("dd2", "dd3", "cd2", "ann2",
+    * "ann3") — each must correspond to a `<src>_buckets` observe node
+    * in df's plan (fails fast otherwise).
+    */
+  def truncationMetrics(df: DataFrame, sources: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // the one action, on df's OWN QueryExecution: Dataset.foreach/rdd
+    // would build a separate execution (deserializer path) whose
+    // accumulators this queryExecution never sees
+    df.queryExecution.toRdd.foreach(_ => ())
+    val om = df.queryExecution.observedMetrics
+    val rows = sources.map { src =>
+      val row = om.getOrElse(s"${src}_buckets",
+        throw new IllegalArgumentException(
+          s"no '${src}_buckets' observation in plan (have: ${om.keys.mkString(",")})"))
+      def metric(field: String): Long = {
+        val names = row.schema.fieldNames
+        val i = names.indexWhere(n => n == field || n == s"${src}_$field")
+        if (i < 0 || row.isNullAt(i)) 0L else row.getLong(i)
+      }
+      (src, metric("capped_buckets"), metric("dropped_ids"))
+    }
+    rows.toDF("source", "capped_buckets", "dropped_ids")
+  }
+
   /** Corpus quality score — the reference's A14 formula
     * (utils.py:491-509) recast: 100 * kept / total.
     */

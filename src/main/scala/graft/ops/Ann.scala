@@ -151,46 +151,67 @@ object Ann {
 
   /** IVF (inverted-file) ANN: k-means coarse quantizer trained with a
     * FIXED number of Lloyd iterations from deterministic seeded
-    * centroids (splitmix-picked sample rows — no randomness at run
-    * time), corpus assigned to nearest centroid (map-side, broadcast
-    * centroids), queries probe the `nprobe` nearest cells, exact cosine
-    * re-rank inside the probed cells only.
+    * centroids, corpus assigned to nearest centroid (map-side,
+    * broadcast centroids), queries probe the `nprobe` nearest cells,
+    * exact cosine re-rank inside the probed cells only.
+    *
+    * Training runs on a deterministic SAMPLE, not the corpus: the
+    * `trainSample` rows with smallest splitmix hash (same selection as
+    * the centroid init, TakeOrdered — no full sort) are cached and the
+    * `iters` Lloyd aggregations iterate over them. A coarse quantizer
+    * only needs a representative sample (standard FAISS practice); the
+    * full corpus is scanned ONCE for the final assignment — round 3
+    * paid `iters` extra full-corpus scans here.
     *
     * Scale shape: training = `iters` aggregations of (cell, sum-vec,
-    * count) — partial-agg'd; search shuffles only (cell, id) pairs.
-    * Assignment/probe run as typed mapPartitions over primitive float
-    * arrays (the round-2 per-row `udf` boxed a Seq[Float] per call).
+    * count) over the cached sample — partial-agg'd; search shuffles
+    * only (cell, id) pairs. Assignment/probe run as typed mapPartitions
+    * over primitive float arrays (the round-2 per-row `udf` boxed a
+    * Seq[Float] per call).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
               nCells: Int = 16, nProbe: Int = 4, iters: Int = 5,
-              seed: Long = 42L, roundTo: Int = 4): DataFrame = {
+              seed: Long = 42L, roundTo: Int = 4,
+              trainSample: Int = 1 << 17): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
 
     val vecs = corpus.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
 
-    // deterministic init: rows whose mix64(id ^ seed) is smallest
-    var centroids: Array[Array[Double]] = vecs
+    // deterministic splitmix sample: the trainSample rows with smallest
+    // mix64(id ^ seed) — a TakeOrdered (per-partition top-K + merge),
+    // never a full sort; ≤ trainSample × dim floats, cached for the
+    // Lloyd loop. On a corpus smaller than trainSample this is the
+    // whole corpus and training matches the round-3 behavior exactly.
+    val nTrain = math.max(trainSample, nCells)
+    val sample = vecs
       .map { case (id, v) => (mix64(id ^ seed), v) }
-      .toDF("h", "v").orderBy(col("h")).limit(nCells)
+      .toDF("h", "v").orderBy(col("h")).limit(nTrain)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // deterministic init: the nCells smallest-hash sample rows
+    var centroids: Array[Array[Double]] = sample
+      .orderBy(col("h")).limit(nCells)
       .select(col("v")).as[Array[Float]].collect()
       .map(_.map(_.toDouble))
 
-    // Lloyd iterations as aggregations: per-(cell, dim) FIXED-POINT sums
-    // (integer addition is order-independent → bit-deterministic under
-    // any partitioning) accumulated as decimal(38,0) — long sums would
-    // overflow at ~5×10^8 rows/cell with 2^24 scaling; decimal partial
-    // aggregation keeps exactness to ~10^21 rows/cell. Map-side combine
-    // applies; only nCells × dim tiny rows reach the driver.
+    // Lloyd iterations as aggregations over the sample: per-(cell, dim)
+    // FIXED-POINT sums (integer addition is order-independent →
+    // bit-deterministic under any partitioning) accumulated as
+    // decimal(38,0) — long sums would overflow at ~5×10^8 rows/cell
+    // with 2^24 scaling; decimal partial aggregation keeps exactness to
+    // ~10^21 rows/cell. Map-side combine applies; only nCells × dim
+    // tiny rows reach the driver.
     val Fixed = 1L << 24
+    val sampleVecs = sample.select(col("v")).as[Array[Float]]
     (0 until iters).foreach { _ =>
       val bc = spark.sparkContext.broadcast(centroids)
-      val sums = vecs
+      val sums = sampleVecs
         .mapPartitions { it =>
           val cs = bc.value
-          it.flatMap { case (_, v) =>
+          it.flatMap { v =>
             val cell = nearestCell(cs, v)
             Iterator.tabulate(v.length)(pos =>
               (cell, pos, (v(pos).toDouble * Fixed).toLong))
@@ -208,6 +229,7 @@ object Ann {
       }
       centroids = next
     }
+    sample.unpersist(blocking = false)
 
     val bc = spark.sparkContext.broadcast(centroids)
     val cells = corpus.select(col(idCol).cast("long").as("nid"), col(vecCol).as("nvec"))

@@ -29,7 +29,12 @@ object DocPipeline {
       minQuality: Double = 0.3,
       allowedLangs: Set[String] = RuleConfig.AllowedLangs,
       langConfMin: Double = 0.65,
-      nearDupThreshold: Double = 0.85)
+      nearDupThreshold: Double = 0.85,
+      // broadcast the dup/near-dup flag table only below this COUNTED
+      // row bound (~32 MB of ids) — on a high-duplication corpus the
+      // flag table is O(corpus) and a hard broadcast hint would bypass
+      // AQE's size check and OOM the driver
+      maxBroadcastFlags: Long = 4L << 20)
 
   /** Stage 1: broadcast-model language-ID + perplexity per document —
     * the persisted seam the driver's DuckDB oracle re-labels from
@@ -79,6 +84,18 @@ object DocPipeline {
       .groupBy(col("doc_id"))
       .agg(max(col("is_exact_dup")).as("is_exact_dup"),
         max(col("is_near_dup")).as("is_near_dup"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // broadcast GATED on the counted size (cfg.maxBroadcastFlags): on a
+    // typical corpus the flag table is tiny and the hint keeps full-text
+    // rows out of any join exchange; on a pathological high-duplication
+    // corpus it is O(corpus) rows and the hint would force an OOM-risk
+    // broadcast past AQE's size check — there the plain left join (AQE
+    // decides) is the only correct plan. The persist (also backing the
+    // count) lives until the session drops it — flag tables are ids+2
+    // booleans, small even when "large" relative to broadcast limits.
+    val flagsJoin =
+      if (flags.count() <= cfg.maxBroadcastFlags) broadcast(flags) else flags
 
     val quality = TextStats.qualityScoreCol(col("text"))
     val reasons = array_compact(array(
@@ -94,9 +111,7 @@ object DocPipeline {
     val scrubStruct = graft.functions.GraftExpressions.scrub_all(col("text"))
 
     scored
-      // flag tables are small by construction (dup/near-dup ids only);
-      // broadcasting keeps the full-text rows out of any join exchange
-      .join(broadcast(flags), Seq("doc_id"), "left")
+      .join(flagsJoin, Seq("doc_id"), "left")
       .withColumn("drop_reasons", reasons)
       .withColumn("keep", size(col("drop_reasons")) === 0)
       .withColumn("scrubbed_text", scrubStruct.getField("scrubbed_text"))

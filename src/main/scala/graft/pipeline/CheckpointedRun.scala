@@ -30,9 +30,15 @@ object CheckpointedRun {
       bucketsComputed: Seq[Int],
       bucketsSkipped: Seq[Int])
 
+  /** `afterDataCommit` is a fault-injection seam (crash drills): invoked
+    * with the bucket id right after that bucket's DATA commit and
+    * before its metrics commits — the window where a crash must force
+    * the bucket to re-run on restart.
+    */
   def run(input: Dataset[Turn], outRoot: String, nBuckets: Int,
           metricsRoot: Option[String] = None,
-          skewMaxTurns: Int = 0): RunResult = {
+          skewMaxTurns: Int = 0,
+          afterDataCommit: Int => Unit = _ => ()): RunResult = {
     val table = SnapshotTable(outRoot, nBuckets)
     val bucket = Metrics.bucketCol(nBuckets)
 
@@ -73,11 +79,18 @@ object CheckpointedRun {
 
     todo.foreach { b =>
       val bucketInput = input.where(bucket === b)
+      val giants = giantsByBucket.getOrElse(b, Array.empty)
       val labeled =
         if (skewMaxTurns <= 0) QualityFilter.label(bucketInput)
-        else SkewSplit.labelWithGiants(bucketInput, skewMaxTurns,
-          giantsByBucket.getOrElse(b, Array.empty))
+        // same guard as SkewSplit.label: a degenerate number of giant
+        // conversations must not inline an unbounded isin literal list
+        // into the plan (driver memory / plan size) — fall back to the
+        // broadcast-join split
+        else if (giants.length > SkewSplit.MaxCollectedGiants)
+          SkewSplit.labelViaJoins(bucketInput, skewMaxTurns)
+        else SkewSplit.labelWithGiants(bucketInput, skewMaxTurns, giants)
       table.commitBucket(labeled, b)
+      afterDataCommit(b)
       metricTables.foreach { case (statsT, lineageT) =>
         // metrics read the bucket's COMMITTED parquet back instead of
         // re-running the pipeline per metrics table (2 extra pipeline

@@ -39,9 +39,11 @@ import graft.scrub.Scrub
 object SkewSplit {
 
   /** Above this many giant conversations the collected id set stops
-    * being "tiny" and the split falls back to broadcast joins.
+    * being "tiny" and the split falls back to broadcast joins (also the
+    * bound a bucketed runner must apply to its pre-computed giant
+    * lists — see CheckpointedRun).
     */
-  private val MaxCollectedGiants = 65536
+  private[pipeline] val MaxCollectedGiants = 65536
 
   def label(ds: Dataset[graft.schema.Turn], maxTurns: Int): DataFrame = {
     val spark = ds.sparkSession

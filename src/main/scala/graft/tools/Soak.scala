@@ -12,9 +12,137 @@ import graft.pipeline.CheckpointedRun
   * one JSON line of evidence. Usage:
   *
   *   runMain graft.tools.Soak [nConvs] [skewCap] [skewMaxTurns] [buckets]
+  *
+  * Crash drill (`--crash-drill [nConvs]`): forks a child JVM that runs
+  * the same checkpointed pipeline and HALTS (Runtime.halt — no
+  * shutdown hooks, the closest sandbox analog of a killed executor
+  * host) right between one bucket's data commit and its metrics
+  * commits; the parent then restarts the run against the same roots
+  * and asserts (a) the half-committed bucket re-ran, (b) fully
+  * committed buckets were skipped, and (c) the final labeled output is
+  * content-identical to an undisturbed reference run. Prints one JSON
+  * line recording the induced crash + clean resume.
   */
 object Soak {
+
+  private def session(name: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SOAK_MASTER", "local[8]"))
+      .appName(name)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Order-independent content checksum of a labeled output: sum of
+    * per-row xxhash64 over the decision-carrying columns (decimal sum —
+    * ANSI long sum would overflow).
+    */
+  private def checksum(df: org.apache.spark.sql.DataFrame): (Long, String) = {
+    val row = df.agg(
+      count(lit(1)),
+      sum(xxhash64(col("conv_id"), col("turn_idx"), col("keep"),
+        concat_ws("|", col("drop_reasons")), col("scrubbed_text"))
+        .cast("decimal(38,0)"))).head()
+    (row.getLong(0), row.getDecimal(1).toBigInteger.toString)
+  }
+
+  /** Child mode: run the checkpointed pipeline but HALT the JVM right
+    * after `crashBucket`'s data commit, before its metrics commits.
+    */
+  private def drillChild(corpus: String, outRoot: String, metricsRoot: String,
+                         nBuckets: Int, crashBucket: Int): Unit = {
+    val spark = session("graft-soak-drill-child")
+    import spark.implicits._
+    val input = spark.read.schema(graft.schema.Turn.schema)
+      .parquet(s"$corpus/turns").as[graft.schema.Turn]
+    CheckpointedRun.run(input, outRoot, nBuckets,
+      metricsRoot = Some(metricsRoot), skewMaxTurns = 2000,
+      afterDataCommit = b => if (b == crashBucket) Runtime.getRuntime.halt(137))
+    spark.stop()
+  }
+
+  private def forkDrillChild(args: Seq[String]): Int = {
+    val java = sys.props("java.home") + "/bin/java"
+    val opens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(java) ++ opens ++ Seq("-Xmx8g", "-Dspark.ui.enabled=false",
+      "-cp", sys.props("java.class.path"), "graft.tools.Soak") ++ args
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectOutput(ProcessBuilder.Redirect.INHERIT)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    pb.start().waitFor()
+  }
+
+  private def crashDrill(nConvs: Long): Unit = {
+    val nBuckets = 8
+    val crashBucket = 1 // second bucket in todo order: bucket 0 fully
+                        // commits, 1 gets data-only, 2..7 never start
+    val spark = session("graft-soak-drill")
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_drill").toString
+    TranscriptGen.generate(spark, nConvs, seed = 42L, skewCap = 5000,
+      partitions = 32).write.parquet(s"$root/turns")
+    val input = spark.read.schema(graft.schema.Turn.schema)
+      .parquet(s"$root/turns").as[graft.schema.Turn]
+
+    // undisturbed reference run
+    CheckpointedRun.run(input, s"$root/ref_out", nBuckets,
+      metricsRoot = Some(s"$root/ref_metrics"), skewMaxTurns = 2000)
+    val (refN, refSum) = checksum(
+      CheckpointedRun.readOutput(spark, s"$root/ref_out", nBuckets))
+
+    // induced crash in a forked JVM (hard halt, no shutdown hooks)
+    val rc = forkDrillChild(Seq("--drill-child", root, s"$root/out",
+      s"$root/metrics", nBuckets.toString, crashBucket.toString))
+    require(rc == 137, s"drill child should have halted with 137, got $rc")
+
+    // post-crash state: data table has the crash bucket committed,
+    // its metrics tables do NOT — exactly the torn window
+    val dataDone = graft.io.SnapshotTable(s"$root/out", nBuckets).completedBuckets
+    val lineageDone =
+      graft.io.SnapshotTable(s"$root/metrics/rule_lineage", nBuckets).completedBuckets
+    require(dataDone.contains(crashBucket) && !lineageDone.contains(crashBucket),
+      s"crash window wrong: data=$dataDone lineage=$lineageDone")
+
+    // restart: fully committed buckets skip, the torn bucket re-runs
+    val res = CheckpointedRun.run(input, s"$root/out", nBuckets,
+      metricsRoot = Some(s"$root/metrics"), skewMaxTurns = 2000)
+    require(res.bucketsComputed.contains(crashBucket),
+      s"torn bucket $crashBucket did not re-run: $res")
+    require(res.bucketsSkipped == dataDone.intersect(lineageDone).toSeq.sorted,
+      s"skipped set wrong: $res")
+
+    val (n, sum) = checksum(
+      CheckpointedRun.readOutput(spark, s"$root/out", nBuckets))
+    require(n == refN && sum == refSum,
+      s"resumed output differs from reference: ($n,$sum) vs ($refN,$refSum)")
+    val lineageAfter =
+      graft.io.SnapshotTable(s"$root/metrics/rule_lineage", nBuckets).completedBuckets
+    require(lineageAfter == (0 until nBuckets).toSet, s"metrics incomplete: $lineageAfter")
+
+    println(
+      s"""{"crash_drill":{"turns":$n,"buckets":$nBuckets,"crash_bucket":$crashBucket,"child_exit":$rc,"data_committed_at_crash":${dataDone.toSeq.sorted.mkString("[", ",", "]")},"lineage_committed_at_crash":${lineageDone.toSeq.sorted.mkString("[", ",", "]")},"resumed_buckets":${res.bucketsComputed.mkString("[", ",", "]")},"skipped_buckets":${res.bucketsSkipped.mkString("[", ",", "]")},"output_matches_reference":true,"checksum":"$sum"}}""")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--drill-child")) {
+      drillChild(args(1), args(2), args(3), args(4).toInt, args(5).toInt); return
+    }
+    if (args.headOption.contains("--crash-drill")) {
+      crashDrill(args.lift(1).map(_.toLong).getOrElse(20000L)); return
+    }
     val nConvs = args.lift(0).map(_.toLong).getOrElse(2000000L)
     val skewCap = args.lift(1).map(_.toInt).getOrElse(200000)
     val skewMaxTurns = args.lift(2).map(_.toInt).getOrElse(50000)
