@@ -1206,6 +1206,31 @@ object SparkEntry {
         .orderBy(col("conv_id"), col("turn_idx"))
     }),
 
+    "qf3_ppl_iqr" -> ((s, _) => {
+      // OPT-IN IQR perplexity rule (SURVEY §7.1 sketch, VERDICT r3 #8):
+      // bounds = exact distributed quartiles of the eligible-turn ppl
+      // distribution (Stats.exactPercentiles — the a8 machinery) ±
+      // 1.5·IQR, applied through labelScored(pplBounds); the fixed
+      // PplMax stays the north-rule default. DuckDB recomputes
+      // quantile_cont bounds over the same seam (bit-faithful
+      // interpolation) and must agree on every per-turn verdict.
+      import s.implicits._
+      val back = readSeam(s, "qf_scored").as[graft.schema.ScoredTurn]
+      val bounds = QualityFilter.pplIqrBounds(back)
+      val eligibleKeys = back.toDF()
+        .where(!col("is_empty") &&
+          col("norm_len") >= graft.rules.RuleConfig.PplMinChars &&
+          !(col("role") <=> lit("tool")))
+        .select(col("conv_id"), col("turn_idx"))
+      QualityFilter.labelScored(back, Some(bounds))
+        .join(eligibleKeys, Seq("conv_id", "turn_idx"))
+        .select(col("conv_id"), col("turn_idx"),
+          round(col("ppl"), 4).as("ppl"),
+          array_contains(col("drop_reasons"),
+            graft.rules.RuleConfig.RulePpl).as("ppl_outlier"))
+        .orderBy(col("conv_id"), col("turn_idx"))
+    }),
+
     // ------------------------------- reference fixture + fact dictionaries
     "f13_country_dict" -> ((s, _) => {
       import graft.ops.Suggest
@@ -2018,6 +2043,9 @@ object SparkEntry {
 
     "qf2_metrics_oracle" ->
       graft.oracle.RulesSql.ruleCountsSql(oracleSeamGlob("qf_scored")),
+
+    "qf3_ppl_iqr" ->
+      graft.oracle.RulesSql.pplIqrSql(oracleSeamGlob("qf_scored")),
 
     "cd1_conversation_neardup" -> convNearDupBruteSql,
 

@@ -122,6 +122,23 @@ object RulesSql {
          ${scrubSql("text")} AS scrubbed_text, lang, round(ppl, 4) AS ppl
        FROM r ORDER BY conv_id, turn_idx"""
 
+  /** The IQR perplexity variant (qf3): quartiles of the eligible turns'
+    * ppl via quantile_cont (the same linear interpolation
+    * Stats.exactPercentiles is bit-faithful to), widened by k·IQR; one
+    * row per eligible turn with the oracle's own outlier verdict. The
+    * pipeline's drop:perplexity labels under
+    * QualityFilter.pplIqrBounds must hash-match this exactly.
+    */
+  def pplIqrSql(scoredGlob: String): String =
+    s"""WITH st AS (SELECT * FROM ${q(scoredGlob)}),
+       el AS (SELECT * FROM st WHERE $eligibleSql),
+       b AS (SELECT quantile_cont(ppl, 0.25) AS q1,
+                    quantile_cont(ppl, 0.75) AS q3 FROM el)
+       SELECT conv_id, turn_idx, round(ppl, 4) AS ppl,
+         (ppl < q1 - CAST($PplIqrK AS DOUBLE) * (q3 - q1)
+          OR ppl > q3 + CAST($PplIqrK AS DOUBLE) * (q3 - q1)) AS ppl_outlier
+       FROM el, b ORDER BY conv_id, turn_idx"""
+
   /** Per-rule drop totals re-derived from the same seam — the
     * independent check of the Metrics lineage roll-up (bucket keys are
     * xxhash64-based and not DuckDB-expressible, so the oracle checks

@@ -73,7 +73,24 @@ object QualityFilter {
 
   def label(ds: Dataset[Turn]): DataFrame = labelScored(score(ds))
 
-  def labelScored(scored: Dataset[ScoredTurn]): DataFrame = {
+  /** OPT-IN data-driven perplexity bounds (SURVEY §7.1 sketch): the A8
+    * IQR-outlier rule applied to the model score — exact distributed
+    * quartiles (Stats.exactPercentiles: histogram selection, no
+    * single-buffer percentile) of the ELIGIBLE turns' ppl, widened by
+    * k·IQR. Pass the result to [[labelScored]]'s `pplBounds` to replace
+    * the fixed PplMax threshold; the fixed threshold stays the
+    * north-rule default.
+    */
+  def pplIqrBounds(scored: Dataset[ScoredTurn],
+                   k: Double = PplIqrK): (Double, Double) = {
+    val qs = graft.ops.Stats.exactPercentiles(
+      scored.toDF().where(eligible), "ppl", Seq(0.25, 0.75))
+    val iqr = qs(1) - qs(0)
+    (qs(0) - k * iqr, qs(1) + k * iqr)
+  }
+
+  def labelScored(scored: Dataset[ScoredTurn],
+                  pplBounds: Option[(Double, Double)] = None): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
 
@@ -113,7 +130,7 @@ object QualityFilter {
 
     // rule evaluation + fused scrub projection shared with the
     // skew-split giant-conversation path (single implementation)
-    SkewSplit.finishLabeling(withWindows)
+    SkewSplit.finishLabeling(withWindows, pplBounds)
   }
 
   /** Label with explicit skew handling: conversations above

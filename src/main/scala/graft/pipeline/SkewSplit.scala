@@ -168,10 +168,19 @@ object SkewSplit {
 
   /** Rule evaluation + scrub — shared semantics, expressed over the
     * prev/first/dup/conv_lang columns whichever path produced them.
+    *
+    * `pplBounds`: optional data-driven perplexity interval (the IQR
+    * variant, QualityFilter.pplIqrBounds) — None keeps the fixed
+    * PplMax north-rule default.
     */
-  private[graft] def finishLabeling(df: DataFrame): DataFrame = {
+  private[graft] def finishLabeling(df: DataFrame,
+                                    pplBounds: Option[(Double, Double)] = None): DataFrame = {
     val empty = col("is_empty")
     val notTool = !(col("role") <=> lit("tool"))
+    val pplViolation = pplBounds match {
+      case Some((lo, hi)) => col("ppl") < lo || col("ppl") > hi
+      case None => col("ppl") > PplMax
+    }
     val preds: Seq[(String, org.apache.spark.sql.Column)] = Seq(
       RuleEmpty -> empty,
       RuleLength -> (!empty && (col("norm_len") < MinLen || col("norm_len") > MaxLen)),
@@ -192,7 +201,7 @@ object SkewSplit {
       RuleLang -> (eligible && !col("lang").isin(AllowedLangs.toSeq: _*) &&
         (col("lang_conf") >= LangDropConf ||
           !col("conv_lang").isin(AllowedLangs.toSeq: _*))),
-      RulePpl -> (eligible && col("ppl") > PplMax)
+      RulePpl -> (eligible && pplViolation)
     )
     require(preds.map(_._1) == RuleOrder, "rule order drift vs RuleConfig")
 

@@ -78,6 +78,15 @@ object RuleConfig {
   val PplMax = 25.0
   val PplMinChars = 16
 
+  /** IQR multiplier for the OPTIONAL data-driven perplexity bounds
+    * (the A8 outlier rule applied to the model score): when a run opts
+    * in (QualityFilter.pplIqrBounds → labelScored(pplBounds=...)), the
+    * perplexity rule drops turns outside [Q1 - k·IQR, Q3 + k·IQR] of
+    * the eligible-turn ppl distribution instead of the fixed PplMax.
+    * The fixed threshold remains the north-rule default semantics.
+    */
+  val PplIqrK = 1.5
+
   // ------------------------------------------------------------- rule ids
 
   val RuleEmpty = "empty_text"

@@ -191,4 +191,52 @@ class RulesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("IQR perplexity variant: data-driven bounds flip only the ppl rule") {
+    import graft.rules.RuleConfig
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val turns = graft.gen.TranscriptGen.generateLocal(80, seed = 7, skewCap = 200)
+    val scored = QualityFilter.score(spark.createDataset(turns))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+
+    val (lo, hi) = QualityFilter.pplIqrBounds(scored)
+    // bounds must equal locally computed quantile_cont quartiles ± 1.5·IQR
+    val ppls = scored.collect()
+      .filter(t => !t.is_empty && t.norm_len >= RuleConfig.PplMinChars &&
+        t.role != "tool")
+      .map(_.ppl).sorted
+    def qc(p: Double): Double = {
+      val rn = p * (ppls.length - 1)
+      val (f, c) = (math.floor(rn), math.ceil(rn))
+      if (f == c) ppls(f.toInt)
+      else (c - rn) * ppls(f.toInt) + (rn - f) * ppls(c.toInt)
+    }
+    val iqr = qc(0.75) - qc(0.25)
+    assert(lo == qc(0.25) - 1.5 * iqr && hi == qc(0.75) + 1.5 * iqr)
+
+    // only the perplexity rule may differ from the default labeling
+    def byTurn(df: org.apache.spark.sql.DataFrame) = df
+      .select($"conv_id", $"turn_idx", $"drop_reasons")
+      .as[(String, Int, Seq[String])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val base = byTurn(QualityFilter.labelScored(scored))
+    val variant = byTurn(QualityFilter.labelScored(scored, Some((lo, hi))))
+    assert(base.keySet == variant.keySet)
+    base.foreach { case (k, reasons) =>
+      assert(reasons.filterNot(_ == RuleConfig.RulePpl) ==
+        variant(k).filterNot(_ == RuleConfig.RulePpl), s"non-ppl drift at $k")
+    }
+    // and the variant's ppl labels are exactly the out-of-bounds turns
+    val scoredMap = scored.collect()
+      .map(t => (t.conv_id, t.turn_idx) -> t).toMap
+    variant.foreach { case (k, reasons) =>
+      val t = scoredMap(k)
+      val eligible = !t.is_empty && t.norm_len >= RuleConfig.PplMinChars &&
+        t.role != "tool"
+      val expect = eligible && (t.ppl < lo || t.ppl > hi)
+      assert(reasons.contains(RuleConfig.RulePpl) == expect, s"ppl label at $k")
+    }
+    scored.unpersist()
+  }
 }
