@@ -998,16 +998,19 @@ object SparkEntry {
 
     // ------------------------- multimodal (real image + audio decode)
     "mm1_multimodal_features" -> ((s, dir) => {
-      // all three modalities through one featurize pass: image rows are
-      // REAL PNG decode (JDK ImageIO), audio rows REAL WAV decode (JDK
-      // javax.sound.sampled); video remains a declared stub — hence
-      // rows-only here; mm2 (image) and mm3 (audio) are the
-      // oracle-checked twins over the real-decode subsets
+      // all three modalities through ONE featurize pass with the
+      // production dispatch: image rows REAL PNG decode (JDK ImageIO,
+      // brightness = synthColor mean), audio rows REAL WAV decode (JDK
+      // javax.sound.sampled, brightness = square-wave RMS), video rows
+      // the declared stub whose constant-byte payload makes even the
+      // stub brightness id-predictable — so the whole table is
+      // DuckDB-checked; mm2/mm3 additionally check dims/rate/duration
+      // on the real-decode subsets
       import graft.ops.Multimodal
       val media = Multimodal.synthesize(s,
         t(s, dir, "documents").where(col("doc_id") < 50), "doc_id")
       Multimodal.featurize(media).toDF()
-        .select(col("media_id"), col("mime"), col("n_bytes"),
+        .select(col("media_id"), col("mime"),
           round(col("brightness"), 6).as("brightness"))
         .orderBy(col("media_id"))
     }),
@@ -2016,6 +2019,24 @@ object SparkEntry {
            round(((doc_id % 256) * 37 % 256 + (doc_id % 256) * 59 % 256 +
                   (doc_id % 256) * 83 % 256) / (3.0 * 255.0), 6) AS brightness
          FROM documents WHERE doc_id < 120 AND doc_id % 3 = 0
+         ORDER BY media_id""",
+
+    // all three modalities, one oracle: image brightness = solid-color
+    // mean (mm2's identity), audio = square-wave RMS (mm3's), video =
+    // the stub's mean-byte over a constant-valued payload — each pure
+    // id arithmetic
+    "mm1_multimodal_features" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS mime,
+           round(CASE WHEN doc_id % 3 = 0 THEN
+                   ((doc_id % 256) * 37 % 256 + (doc_id % 256) * 59 % 256 +
+                    (doc_id % 256) * 83 % 256) / (3.0 * 255.0)
+                 WHEN doc_id % 3 = 1 THEN
+                   (1024 + (doc_id % 97) * 256) / 32768.0
+                 ELSE (doc_id % 200) / 255.0 END, 6) AS brightness
+         FROM documents WHERE doc_id < 50
          ORDER BY media_id""",
 
     // RMS of a ±A square wave is exactly A/32768 (every sample's square

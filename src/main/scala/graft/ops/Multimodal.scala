@@ -378,10 +378,14 @@ object Multimodal {
         val (amp, n) = synthAudioParams(id)
         MediaRow(id, "audio/wav", w, h, synthWav(amp, n))
       } else {
-        val n = 64 + (TextAlgos.mix64(id) & 0xFF).toInt
+        // video has no JDK codec — payload is declared-stub bytes, but
+        // CONSTANT-valued ((id % 200) in every byte, length
+        // 64 + id % 192) so even the stub's byte-derived brightness
+        // (mean byte / 255) is pure id arithmetic and the all-modality
+        // mm1 query can be fully DuckDB-checked
+        val n = 64 + (id % 192).toInt
         val bytes = new Array[Byte](n)
-        var i = 0
-        while (i < n) { bytes(i) = (TextAlgos.mix64(id * 1000 + i) & 0xff).toByte; i += 1 }
+        java.util.Arrays.fill(bytes, (id % 200).toByte)
         MediaRow(id, "video/mp4", w, h, bytes)
       }
     }

@@ -17,13 +17,10 @@ class EntrySmokeSpec extends AnyFunSuite {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"orphan oracles: ${o -- q}")
+    // ZERO rows-only queries: every query (model stages, LSH, real
+    // image/audio decode, even the video stub via its constant-byte
+    // payload) has a full DuckDB oracle
     val rowsOnly = q -- o
-    val expectedRowsOnly = Set(
-      "mm1_multimodal_features") // audio/video stub features are not
-                                 // SQL-predictable; mm2 oracle-checks
-                                 // the real image-decode subset
-    assert(rowsOnly == expectedRowsOnly,
-      s"unexpected rows-only queries: ${rowsOnly -- expectedRowsOnly}; " +
-        s"missing: ${expectedRowsOnly -- rowsOnly}")
+    assert(rowsOnly.isEmpty, s"unexpected rows-only queries: $rowsOnly")
   }
 }
