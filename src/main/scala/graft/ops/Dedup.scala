@@ -213,9 +213,14 @@ object Dedup {
     val cand = lshBucketPairs(banded, Seq("band", "bucket"), col("cid"),
         maxBucket, "cd2")
       .distinct()
+    // candidate id set: tiny on a typical corpus, but O(#convs) when
+    // most conversations are near-dups of something — no hard
+    // broadcast hint (it would bypass AQE's size check and risk OOM at
+    // the 10^12-turn tier); AQE broadcasts the semi-join build side
+    // when its runtime size allows
     val candIds = cand.select(col("id_a").as("cid"))
       .unionByName(cand.select(col("id_b").as("cid"))).distinct()
-    val candTurns = turns.join(broadcast(candIds),
+    val candTurns = turns.join(candIds,
       turns(convCol) === candIds("cid"), "left_semi")
     val candText = conversationText(candTurns, convCol, idxCol, textCol)
     cand

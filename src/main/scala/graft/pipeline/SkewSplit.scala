@@ -86,16 +86,20 @@ object SkewSplit {
   }
 
   /** Join-based split for the degenerate case of MANY giant
-    * conversations (id set too large to inline): two broadcast joins
-    * against the census output.
+    * conversations (id set too large to inline): two joins against the
+    * census output. No hard broadcast hint — this path exists
+    * precisely because the giant set is large (up to corpus/maxTurns
+    * ids), so the broadcast-vs-shuffle call belongs to AQE's runtime
+    * size check; the downstream pipeline repartitions by conv_id
+    * anyway, so a shuffled semi-join costs no extra exchange shape.
     */
   private[graft] def labelViaJoins(ds: Dataset[graft.schema.Turn], maxTurns: Int): DataFrame = {
     val spark = ds.sparkSession
     import spark.implicits._
     val sizes = ds.groupBy($"conv_id").agg(count(lit(1)).as("n_turns"))
     val giants = sizes.where($"n_turns" > maxTurns).select($"conv_id")
-    val normal = ds.join(broadcast(giants), Seq("conv_id"), "left_anti")
-    val giant = ds.join(broadcast(giants), Seq("conv_id"), "left_semi")
+    val normal = ds.join(giants, Seq("conv_id"), "left_anti")
+    val giant = ds.join(giants, Seq("conv_id"), "left_semi")
     QualityFilter.labelScored(QualityFilter.score(normal.as[graft.schema.Turn]))
       .unionByName(labelGiant(QualityFilter.score(giant.as[graft.schema.Turn]), maxTurns))
   }
