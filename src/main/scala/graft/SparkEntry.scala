@@ -1057,10 +1057,12 @@ object SparkEntry {
       val pairs = Dedup.minHashPairs(t(s, dir, "documents"), "text", "doc_id",
         numHashes = 64, bands = 16, shingleK = 3, threshold = 0.5)
       val ddCaps = graft.metrics.Metrics.truncationMetrics(pairs, Seq("dd2"))
-      val (corpus, _) = clusteredEmbeddings(s, dir)
+      val (corpus, queries) = clusteredEmbeddings(s, dir)
       val nd = Ann.cosineNearDupPairs(corpus, 0.9, tables = 16, bits = 4)
       val annCaps = graft.metrics.Metrics.truncationMetrics(nd, Seq("ann3"))
-      ddCaps.unionByName(annCaps).orderBy(col("source"))
+      val topk = Ann.lshTopK(corpus, queries, k = 5, tables = 8, bits = 6)
+      val ann2Caps = graft.metrics.Metrics.truncationMetrics(topk, Seq("ann2"))
+      ddCaps.unionByName(annCaps).unionByName(ann2Caps).orderBy(col("source"))
     }),
 
     "dp1_doc_pipeline" -> ((s, dir) => {
@@ -1207,6 +1209,21 @@ object SparkEntry {
           concat_ws("|", col("drop_reasons")).as("reasons"),
           col("scrubbed_text"), col("lang"), round(col("ppl"), 4).as("ppl"))
         .orderBy(col("conv_id"), col("turn_idx"))
+    }),
+
+    "qf4_scrub_counts" -> ((s, _) => {
+      // the north rule's third counter dimension: SCRUBBED spans per
+      // rule (qf2 checks drops). The fused ScrubAllExpr's per-stage
+      // counts roll up over the whole corpus and DuckDB re-derives
+      // them by replaying the chain stepwise (count = matches in the
+      // previous stage's output — the sequential semantics).
+      import s.implicits._
+      QualityFilter.labelScored(readSeam(s, "qf_scored").as[graft.schema.ScoredTurn])
+        .select(explode(col("scrub_counts")))
+        .select(col("key").as("rule"), col("value").as("n"))
+        .groupBy(col("rule"))
+        .agg(sum(col("n")).cast("long").as("n_spans"))
+        .orderBy(col("rule"))
     }),
 
     "qf3_ppl_iqr" -> ((s, _) => {
@@ -1983,6 +2000,7 @@ object SparkEntry {
     // nonzero observed caps flip these cells and fail the hash compare
     "cap1_truncation_metrics" ->
       """SELECT * FROM (VALUES
+           ('ann2', CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
            ('ann3', CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
            ('dd2',  CAST(0 AS BIGINT), CAST(0 AS BIGINT)))
          AS t(source, capped_buckets, dropped_ids) ORDER BY source""",
@@ -2067,6 +2085,9 @@ object SparkEntry {
 
     "qf3_ppl_iqr" ->
       graft.oracle.RulesSql.pplIqrSql(oracleSeamGlob("qf_scored")),
+
+    "qf4_scrub_counts" ->
+      graft.oracle.RulesSql.scrubSpanCountsSql(oracleSeamGlob("qf_scored")),
 
     "cd1_conversation_neardup" -> convNearDupBruteSql,
 

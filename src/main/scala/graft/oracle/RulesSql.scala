@@ -122,6 +122,35 @@ object RulesSql {
          ${scrubSql("text")} AS scrubbed_text, lang, round(ppl, 4) AS ppl
        FROM r ORDER BY conv_id, turn_idx"""
 
+  /** Corpus-wide scrubbed-span totals per scrub rule (qf4) — the third
+    * counter dimension of the north rule (kept/dropped/SCRUBBED per
+    * rule), re-derived from first principles: the chain is rendered
+    * stepwise (each stage's count = leftmost-non-overlapping matches in
+    * the PREVIOUS stage's output, exactly Scrub.scrubPlain's
+    * sequential semantics; NULL text counts 0 at every stage).
+    */
+  def scrubSpanCountsSql(scoredGlob: String): String = {
+    val norm =
+      s"regexp_replace(regexp_replace(text, ${q(WhitespaceRe)}, ' ', 'g'), ${q("^ | $")}, '', 'g')"
+    val stages = new StringBuilder(
+      s"WITH st AS (SELECT * FROM ${q(scoredGlob)}),\n  s0 AS (SELECT $norm AS t0 FROM st)")
+    ScrubChain.zipWithIndex.foreach { case ((rule, pattern, repl), i) =>
+      stages.append(
+        s""",
+  s${i + 1} AS (SELECT ${if (i + 1 < ScrubChain.size) s"regexp_replace(t$i, ${q(pattern)}, ${q(repl)}, 'g') AS t${i + 1}," else ""}
+      ${(0 until i).map(j => s"c_${ScrubChain(j)._1},").mkString(" ")}
+      CASE WHEN t$i IS NULL THEN 0
+           ELSE len(regexp_extract_all(t$i, ${q(pattern)})) END AS c_$rule
+    FROM s$i)""")
+    }
+    val unions = ScrubChain.map { case (rule, _, _) =>
+      s"SELECT ${q(rule)} AS rule, CAST(sum(c_$rule) AS BIGINT) AS n_spans FROM s${ScrubChain.size}"
+    }.mkString("\n  UNION ALL ")
+    s"""${stages.toString}
+  $unions
+  ORDER BY rule"""
+  }
+
   /** The IQR perplexity variant (qf3): quartiles of the eligible turns'
     * ppl via quantile_cont (the same linear interpolation
     * Stats.exactPercentiles is bit-faithful to), widened by k·IQR; one
