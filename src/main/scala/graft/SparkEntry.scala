@@ -47,6 +47,37 @@ object SparkEntry {
   private def persistSeam(df: DataFrame, name: String): Unit =
     df.coalesce(1).write.mode("overwrite").parquet(oracleSeam(name))
 
+  /** Per-pid roots cannot be deleted at JVM exit (the driver's DuckDB
+    * compare reads them AFTER this process dies), so each fixture run
+    * garbage-collects PREVIOUS runs' roots instead: a root whose pid is
+    * no longer alive and whose tree is older than an hour is past any
+    * plausible compare window. Bounds /tmp growth across rounds without
+    * racing a concurrent session or an in-flight compare.
+    */
+  private def cleanupStaleSeamRoots(): Unit = {
+    val tmp = new java.io.File("/tmp")
+    val mine = new java.io.File(seamRoot).getName
+    val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+    Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val n = f.getName
+      if (n.startsWith("graft_oracle_") && n != mine && f.lastModified() < cutoff) {
+        val alive = n.stripPrefix("graft_oracle_").toLongOption.exists { pid =>
+          scala.util.Try {
+            val h = ProcessHandle.of(pid)
+            h.isPresent && h.get().isAlive
+          }.getOrElse(false)
+        }
+        if (!alive) {
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+            x.delete(); ()
+          }
+          rm(f)
+        }
+      }
+    }
+  }
+
   private def readSeam(s: SparkSession, name: String): DataFrame = {
     require(new java.io.File(oracleSeam(name)).exists(),
       s"oracle seam '$name' missing under $seamRoot — " +
@@ -62,6 +93,7 @@ object SparkEntry {
     * flow through the exact same persisted bytes.
     */
   def prepareSeams(s: SparkSession, dir: String): Unit = {
+    cleanupStaleSeamRoots()
     // flagship scored-turn seam — qf1/qf1b/qf2 oracles re-derive the
     // whole rules layer from it via graft.oracle.RulesSql
     persistSeam(QualityFilter.score(
@@ -1048,12 +1080,16 @@ object SparkEntry {
 
     "cap1_truncation_metrics" -> ((s, dir) => {
       // observed hot-bucket truncation surfaced END-TO-END: the dd2
-      // bench-parameter LSH and the ann3 embedding near-dup both cap
-      // degenerate buckets; their capped_buckets/dropped_ids
-      // observations become queryable rows here. The oracle PREDICTS
-      // ZERO truncation on this corpus — if a cap ever silently bites,
-      // this query's hash check fails (and a production metrics table
-      // would show exactly where recall was traded).
+      // bench-parameter LSH and both embedding-LSH paths cap degenerate
+      // buckets; their capped_buckets/dropped_ids observations become
+      // queryable rows here. The oracle PREDICTS ZERO truncation on
+      // this corpus — if a cap ever silently bites, this query's hash
+      // check fails (and a production metrics table would show exactly
+      // where recall was traded). The LSH stages deliberately RE-RUN
+      // here (dd2/ann3 also run them): cap1 is harness verification of
+      // the observation plumbing, not a production path — production
+      // harvests the observation off the job it already runs, which is
+      // exactly what truncationMetrics does.
       val pairs = Dedup.minHashPairs(t(s, dir, "documents"), "text", "doc_id",
         numHashes = 64, bands = 16, shingleK = 3, threshold = 0.5)
       val ddCaps = graft.metrics.Metrics.truncationMetrics(pairs, Seq("dd2"))

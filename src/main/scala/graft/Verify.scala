@@ -18,8 +18,13 @@ object Verify {
     // seam fixture stage FIRST: every oracle seam is written here, so no
     // query's oracle depends on another query's side effects and a
     // subset/reordered run stays correct (the seam root is per-process —
-    // see SparkEntry.prepareSeams)
-    SparkEntry.prepareSeams(spark, sfDir)
+    // see SparkEntry.prepareSeams). A fixture failure must not abort the
+    // whole dump: seam-reading queries fail fast individually (readSeam)
+    // while every self-contained query still produces its result.
+    try SparkEntry.prepareSeams(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] prepareSeams failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -84,16 +84,17 @@ object DocPipeline {
       .groupBy(col("doc_id"))
       .agg(max(col("is_exact_dup")).as("is_exact_dup"),
         max(col("is_near_dup")).as("is_near_dup"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // broadcast GATED on the counted size (cfg.maxBroadcastFlags): on a
     // typical corpus the flag table is tiny and the hint keeps full-text
     // rows out of any join exchange; on a pathological high-duplication
     // corpus it is O(corpus) rows and the hint would force an OOM-risk
     // broadcast past AQE's size check — there the plain left join (AQE
-    // decides) is the only correct plan. The persist (also backing the
-    // count) lives until the session drops it — flag tables are ids+2
-    // booleans, small even when "large" relative to broadcast limits.
+    // decides) is the only correct plan. The count is one extra
+    // execution of the flag subtree (keys-only aggregations) —
+    // deliberately NOT persisted: caching here would leak one pinned
+    // relation per labelScored call with no safe point to unpersist
+    // (the caller acts on the returned frame later).
     val flagsJoin =
       if (flags.count() <= cfg.maxBroadcastFlags) broadcast(flags) else flags
 

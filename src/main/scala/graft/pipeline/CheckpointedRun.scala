@@ -65,30 +65,38 @@ object CheckpointedRun {
     // ONE census over the remaining corpus locates giant conversations
     // for every to-do bucket (SkewSplit would otherwise census per
     // bucket — nBuckets extra full-input jobs); buckets with no giants
-    // run the standard path with zero split overhead
-    val giantsByBucket: Map[Int, Array[String]] =
-      if (skewMaxTurns <= 0 || todo.isEmpty) Map.empty
+    // run the standard path with zero split overhead. The collect is
+    // LIMIT-bounded like SkewSplit.label's: when the corpus is so
+    // degenerate that giants exceed the bound, every bucket takes the
+    // join-based split instead of pulling an unbounded id list to the
+    // driver (a guard applied after an unbounded collect would OOM
+    // before it ran).
+    val (giantsByBucket: Map[Int, Array[String]], censusOverflow: Boolean) =
+      if (skewMaxTurns <= 0 || todo.isEmpty) (Map.empty[Int, Array[String]], false)
       else {
         import input.sparkSession.implicits._
-        input.groupBy(col("conv_id")).agg(count(lit(1)).as("n_turns"))
+        val rows = input.groupBy(col("conv_id")).agg(count(lit(1)).as("n_turns"))
           .where(col("n_turns") > skewMaxTurns)
           .select(col("conv_id"), bucket.cast("int").as("b"))
+          .limit(SkewSplit.MaxCollectedGiants + 1)
           .as[(String, Int)].collect()
-          .groupBy(_._2).map { case (b, rows) => b -> rows.map(_._1) }
+        if (rows.length > SkewSplit.MaxCollectedGiants)
+          (Map.empty[Int, Array[String]], true)
+        else
+          (rows.groupBy(_._2).map { case (b, rs) => b -> rs.map(_._1) }, false)
       }
 
     todo.foreach { b =>
       val bucketInput = input.where(bucket === b)
-      val giants = giantsByBucket.getOrElse(b, Array.empty)
       val labeled =
         if (skewMaxTurns <= 0) QualityFilter.label(bucketInput)
-        // same guard as SkewSplit.label: a degenerate number of giant
-        // conversations must not inline an unbounded isin literal list
-        // into the plan (driver memory / plan size) — fall back to the
-        // broadcast-join split
-        else if (giants.length > SkewSplit.MaxCollectedGiants)
+        // censusOverflow: the corpus-wide giant count exceeded the
+        // bound, so no bucket gets an inlined isin literal list (plan
+        // size / driver memory) — all take the join-based split
+        else if (censusOverflow)
           SkewSplit.labelViaJoins(bucketInput, skewMaxTurns)
-        else SkewSplit.labelWithGiants(bucketInput, skewMaxTurns, giants)
+        else SkewSplit.labelWithGiants(bucketInput, skewMaxTurns,
+          giantsByBucket.getOrElse(b, Array.empty))
       table.commitBucket(labeled, b)
       afterDataCommit(b)
       metricTables.foreach { case (statsT, lineageT) =>

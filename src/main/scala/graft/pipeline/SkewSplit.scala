@@ -45,7 +45,8 @@ object SkewSplit {
     */
   private[pipeline] val MaxCollectedGiants = 65536
 
-  def label(ds: Dataset[graft.schema.Turn], maxTurns: Int): DataFrame = {
+  def label(ds: Dataset[graft.schema.Turn], maxTurns: Int,
+            pplBounds: Option[(Double, Double)] = None): DataFrame = {
     val spark = ds.sparkSession
     import spark.implicits._
 
@@ -57,12 +58,18 @@ object SkewSplit {
     // id list fits the driver) and each branch filters with an InSet
     // literal — the labeled plan carries no join exchange and no
     // build-side rescan for the split, just the two branch scans.
+    // The collect is LIMIT-bounded: a degenerate corpus where "most
+    // conversations are giant" must hit the join fallback without ever
+    // pulling the unbounded id list to the driver (an unbounded
+    // .collect() guarded only AFTERWARDS would OOM first).
     val giantIds = ds.groupBy($"conv_id").agg(count(lit(1)).as("n_turns"))
       .where($"n_turns" > maxTurns).select($"conv_id")
+      .limit(MaxCollectedGiants + 1)
       .as[String].collect()
 
-    if (giantIds.length > MaxCollectedGiants) return labelViaJoins(ds, maxTurns)
-    labelWithGiants(ds, maxTurns, giantIds)
+    if (giantIds.length > MaxCollectedGiants)
+      return labelViaJoins(ds, maxTurns, pplBounds)
+    labelWithGiants(ds, maxTurns, giantIds, pplBounds)
   }
 
   /** Label with a PRE-COMPUTED giant-conversation id set — lets a
@@ -71,9 +78,11 @@ object SkewSplit {
     * set is empty takes the standard path with zero split overhead.
     */
   def labelWithGiants(ds: Dataset[graft.schema.Turn], maxTurns: Int,
-                      giantIds: Array[String]): DataFrame = {
+                      giantIds: Array[String],
+                      pplBounds: Option[(Double, Double)] = None): DataFrame = {
     import ds.sparkSession.implicits._
-    if (giantIds.isEmpty) return QualityFilter.label(ds)
+    if (giantIds.isEmpty)
+      return QualityFilter.labelScored(QualityFilter.score(ds), pplBounds)
 
     val inGiants = $"conv_id".isin(giantIds.toSeq: _*)
     // null conv_id routes to the normal path (mirrors left_anti, which
@@ -81,8 +90,9 @@ object SkewSplit {
     val normal = ds.where(coalesce(!inGiants, lit(true)))
     val giant = ds.where(coalesce(inGiants, lit(false)))
 
-    QualityFilter.labelScored(QualityFilter.score(normal.as[graft.schema.Turn]))
-      .unionByName(labelGiant(QualityFilter.score(giant.as[graft.schema.Turn]), maxTurns))
+    QualityFilter.labelScored(QualityFilter.score(normal.as[graft.schema.Turn]), pplBounds)
+      .unionByName(labelGiant(QualityFilter.score(giant.as[graft.schema.Turn]),
+        maxTurns, pplBounds))
   }
 
   /** Join-based split for the degenerate case of MANY giant
@@ -93,15 +103,17 @@ object SkewSplit {
     * size check; the downstream pipeline repartitions by conv_id
     * anyway, so a shuffled semi-join costs no extra exchange shape.
     */
-  private[graft] def labelViaJoins(ds: Dataset[graft.schema.Turn], maxTurns: Int): DataFrame = {
+  private[graft] def labelViaJoins(ds: Dataset[graft.schema.Turn], maxTurns: Int,
+                                   pplBounds: Option[(Double, Double)] = None): DataFrame = {
     val spark = ds.sparkSession
     import spark.implicits._
     val sizes = ds.groupBy($"conv_id").agg(count(lit(1)).as("n_turns"))
     val giants = sizes.where($"n_turns" > maxTurns).select($"conv_id")
     val normal = ds.join(giants, Seq("conv_id"), "left_anti")
     val giant = ds.join(giants, Seq("conv_id"), "left_semi")
-    QualityFilter.labelScored(QualityFilter.score(normal.as[graft.schema.Turn]))
-      .unionByName(labelGiant(QualityFilter.score(giant.as[graft.schema.Turn]), maxTurns))
+    QualityFilter.labelScored(QualityFilter.score(normal.as[graft.schema.Turn]), pplBounds)
+      .unionByName(labelGiant(QualityFilter.score(giant.as[graft.schema.Turn]),
+        maxTurns, pplBounds))
   }
 
   private def eligible = !col("is_empty") &&
@@ -111,7 +123,8 @@ object SkewSplit {
     * identical to QualityFilter.labelScored; only the physical window
     * partitioning differs.
     */
-  private[pipeline] def labelGiant(scored: Dataset[ScoredTurn], bucketTurns: Int): DataFrame = {
+  private[pipeline] def labelGiant(scored: Dataset[ScoredTurn], bucketTurns: Int,
+                                   pplBounds: Option[(Double, Double)] = None): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
 
@@ -167,7 +180,7 @@ object SkewSplit {
 
     val withVote = withPrev.join(broadcast(voteTable), Seq("conv_id"))
 
-    finishLabeling(withVote)
+    finishLabeling(withVote, pplBounds)
   }
 
   /** Rule evaluation + scrub — shared semantics, expressed over the

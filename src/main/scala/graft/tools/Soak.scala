@@ -66,17 +66,32 @@ object Soak {
   }
 
   private def forkDrillChild(args: Seq[String]): Int = {
-    val java = sys.props("java.home") + "/bin/java"
-    val opens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar"
-    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val cmd = Seq(java) ++ opens ++ Seq("-Xmx8g", "-Dspark.ui.enabled=false",
+    val javaBin = sys.props("java.home") + "/bin/java"
+    // forward the PARENT's own --add-opens flags (handles both the
+    // "--add-opens=x" and "--add-opens x" spellings) so the child can
+    // never drift from build.sbt's list; fall back to a static copy
+    // only if the parent somehow runs without any
+    import scala.jdk.CollectionConverters._
+    val parentArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toList
+    val forwarded = parentArgs.zipWithIndex.flatMap {
+      case (a, _) if a.startsWith("--add-opens=") => Seq(a)
+      case (a, i) if a == "--add-opens" && i + 1 < parentArgs.length =>
+        Seq(a, parentArgs(i + 1))
+      case _ => Nil
+    }
+    val opens =
+      if (forwarded.nonEmpty) forwarded
+      else Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar"
+      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(javaBin) ++ opens ++ Seq("-Xmx8g", "-Dspark.ui.enabled=false",
       "-cp", sys.props("java.class.path"), "graft.tools.Soak") ++ args
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectOutput(ProcessBuilder.Redirect.INHERIT)
@@ -133,6 +148,12 @@ object Soak {
 
     println(
       s"""{"crash_drill":{"turns":$n,"buckets":$nBuckets,"crash_bucket":$crashBucket,"child_exit":$rc,"data_committed_at_crash":${dataDone.toSeq.sorted.mkString("[", ",", "]")},"lineage_committed_at_crash":${lineageDone.toSeq.sorted.mkString("[", ",", "]")},"resumed_buckets":${res.bucketsComputed.mkString("[", ",", "]")},"skipped_buckets":${res.bucketsSkipped.mkString("[", ",", "]")},"output_matches_reference":true,"checksum":"$sum"}}""")
+    // drills otherwise leak a ~100k-turn corpus per invocation in /tmp
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(root))
     spark.stop()
   }
 
