@@ -39,11 +39,13 @@ import graft.scrub.Scrub
 object SkewSplit {
 
   /** Above this many giant conversations the collected id set stops
-    * being "tiny" and the split falls back to broadcast joins (also the
+    * being "tiny" and the split falls back to join routing (also the
     * bound a bucketed runner must apply to its pre-computed giant
-    * lists — see CheckpointedRun).
+    * lists — see CheckpointedRun). A `var` ONLY so tests can exercise
+    * the overflow path without materializing 65k+ giant conversations;
+    * production code never writes it.
     */
-  private[pipeline] val MaxCollectedGiants = 65536
+  private[graft] var MaxCollectedGiants = 65536
 
   def label(ds: Dataset[graft.schema.Turn], maxTurns: Int,
             pplBounds: Option[(Double, Double)] = None): DataFrame = {

@@ -80,4 +80,40 @@ class SkewSpec extends AnyFunSuite {
       .collect().sortBy(t => (t.conv_id, t.turn_idx)).map(normalize)
     assert(viaJoins.toSeq == expected)
   }
+
+  test("census overflow: bounded collect routes through joins, labels exact") {
+    // when the giant count exceeds MaxCollectedGiants, SkewSplit.label
+    // must never pull the full id list to the driver (limit-bounded
+    // collect) and must route BOTH branches through the join split;
+    // CheckpointedRun's shared census must do the same per bucket
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val turns = TranscriptGen.generateLocal(200, seed = 77, skewCap = 120)
+    val ds = spark.createDataset(turns)
+    val expected = OracleFilter.run(turns).map(normalize)
+    val maxTurns = 8
+    val nGiants = turns.groupBy(_.conv_id).count(_._2.size > maxTurns)
+    val old = graft.pipeline.SkewSplit.MaxCollectedGiants
+    try {
+      graft.pipeline.SkewSplit.MaxCollectedGiants = 3
+      assert(nGiants > 3, s"fixture needs >3 giants, got $nGiants")
+      val labeled = graft.pipeline.SkewSplit.label(ds, maxTurns)
+      val plan = labeled.queryExecution.executedPlan.toString
+      assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+        s"overflow did not route via joins:\n${plan.take(2000)}")
+      val got = labeled.as[LabeledTurn].collect()
+        .sortBy(t => (t.conv_id, t.turn_idx)).map(normalize)
+      assert(got.toSeq == expected)
+
+      // checkpointed runner under the same overflow: output equals the
+      // whole-corpus run exactly
+      val root = java.nio.file.Files.createTempDirectory("graft_ovf").toString
+      graft.pipeline.CheckpointedRun.run(ds, root, nBuckets = 4,
+        skewMaxTurns = maxTurns)
+      val ckpt = graft.pipeline.CheckpointedRun.readOutput(spark, root, 4)
+        .as[LabeledTurn].collect()
+        .sortBy(t => (t.conv_id, t.turn_idx)).map(normalize)
+      assert(ckpt.toSeq == expected)
+    } finally graft.pipeline.SkewSplit.MaxCollectedGiants = old
+  }
 }
