@@ -49,30 +49,32 @@ object SparkEntry {
 
   /** Per-pid roots cannot be deleted at JVM exit (the driver's DuckDB
     * compare reads them AFTER this process dies), so each fixture run
-    * garbage-collects PREVIOUS runs' roots instead: a root whose pid is
-    * no longer alive and whose tree is older than an hour is past any
-    * plausible compare window. Bounds /tmp growth across rounds without
-    * racing a concurrent session or an in-flight compare.
+    * garbage-collects PREVIOUS runs' roots instead. Deleted only when
+    * ALL of: the suffix is a numeric pid (a custom GRAFT_SEAM_DIR
+    * under the same prefix is its owner's to manage — never touched),
+    * that pid is dead, and the tree is >24 h old (compare windows are
+    * minutes; 24 h is safely past any in-flight compare while still
+    * bounding /tmp growth across rounds).
     */
   private def cleanupStaleSeamRoots(): Unit = {
     val tmp = new java.io.File("/tmp")
     val mine = new java.io.File(seamRoot).getName
-    val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+    val cutoff = System.currentTimeMillis() - 24L * 60 * 60 * 1000
     Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
       val n = f.getName
       if (n.startsWith("graft_oracle_") && n != mine && f.lastModified() < cutoff) {
-        val alive = n.stripPrefix("graft_oracle_").toLongOption.exists { pid =>
-          scala.util.Try {
+        n.stripPrefix("graft_oracle_").toLongOption.foreach { pid =>
+          val alive = scala.util.Try {
             val h = ProcessHandle.of(pid)
             h.isPresent && h.get().isAlive
-          }.getOrElse(false)
-        }
-        if (!alive) {
-          def rm(x: java.io.File): Unit = {
-            Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
-            x.delete(); ()
+          }.getOrElse(true) // can't tell → assume alive, keep the root
+          if (!alive) {
+            def rm(x: java.io.File): Unit = {
+              Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+              x.delete(); ()
+            }
+            rm(f)
           }
-          rm(f)
         }
       }
     }
@@ -94,6 +96,15 @@ object SparkEntry {
     */
   def prepareSeams(s: SparkSession, dir: String): Unit = {
     cleanupStaleSeamRoots()
+    // start from an EMPTY root: if this stage dies partway, consumers
+    // must see missing seams (readSeam fails fast per query) — never
+    // stale bytes from a previous run that would compare green against
+    // equally-stale oracle reads (pid reuse, pinned GRAFT_SEAM_DIR)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(seamRoot))
     // flagship scored-turn seam — qf1/qf1b/qf2 oracles re-derive the
     // whole rules layer from it via graft.oracle.RulesSql
     persistSeam(QualityFilter.score(

@@ -19,11 +19,14 @@ object Verify {
     // query's oracle depends on another query's side effects and a
     // subset/reordered run stays correct (the seam root is per-process —
     // see SparkEntry.prepareSeams). A fixture failure must not abort the
-    // whole dump: seam-reading queries fail fast individually (readSeam)
+    // whole dump: prepareSeams EMPTIES the root before writing, so a
+    // partial failure leaves missing seams — seam-reading queries fail
+    // fast individually (readSeam; never a stale-fixture false green)
     // while every self-contained query still produces its result.
+    // NonFatal only: a fatal error (OOM) must still kill the run.
     try SparkEntry.prepareSeams(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[verify] prepareSeams failed: ${e.getMessage}")
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[verify] prepareSeams failed: $e")
     }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

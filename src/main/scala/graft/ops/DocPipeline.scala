@@ -23,6 +23,17 @@ import graft.rules.RuleConfig
   */
 object DocPipeline {
 
+  /** One-slot cache handle bounding the flags-table persist (see
+    * labelScored): each call releases the previous call's relation, so
+    * repeated invocations in a long-lived session never accumulate
+    * pinned storage beyond the latest flags table.
+    */
+  @transient private var previousFlags: Option[DataFrame] = None
+  private def releasePreviousFlags(current: DataFrame): Unit = synchronized {
+    previousFlags.foreach(_.unpersist(blocking = false))
+    previousFlags = Some(current)
+  }
+
   final case class DocConfig(
       minTokens: Int = 5,
       maxSymbolRatio: Double = 0.3,
@@ -84,17 +95,22 @@ object DocPipeline {
       .groupBy(col("doc_id"))
       .agg(max(col("is_exact_dup")).as("is_exact_dup"),
         max(col("is_near_dup")).as("is_near_dup"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // at most ONE pinned flags relation per JVM: the previous call's
+    // cache is released here (there is no safe in-call unpersist point
+    // — the caller acts on the returned frame later, and dropping the
+    // persist entirely would re-execute the near-dup LSH subtree, the
+    // pipeline's dominant cost, once for the gate count and again for
+    // the join)
+    releasePreviousFlags(flags)
 
     // broadcast GATED on the counted size (cfg.maxBroadcastFlags): on a
     // typical corpus the flag table is tiny and the hint keeps full-text
     // rows out of any join exchange; on a pathological high-duplication
     // corpus it is O(corpus) rows and the hint would force an OOM-risk
     // broadcast past AQE's size check — there the plain left join (AQE
-    // decides) is the only correct plan. The count is one extra
-    // execution of the flag subtree (keys-only aggregations) —
-    // deliberately NOT persisted: caching here would leak one pinned
-    // relation per labelScored call with no safe point to unpersist
-    // (the caller acts on the returned frame later).
+    // decides) is the only correct plan. The count runs on the cached
+    // relation, so the dup subtrees execute exactly once.
     val flagsJoin =
       if (flags.count() <= cfg.maxBroadcastFlags) broadcast(flags) else flags
 

@@ -38,7 +38,8 @@ object CheckpointedRun {
   def run(input: Dataset[Turn], outRoot: String, nBuckets: Int,
           metricsRoot: Option[String] = None,
           skewMaxTurns: Int = 0,
-          afterDataCommit: Int => Unit = _ => ()): RunResult = {
+          afterDataCommit: Int => Unit = _ => (),
+          maxCollectedGiants: Int = SkewSplit.MaxCollectedGiants): RunResult = {
     val table = SnapshotTable(outRoot, nBuckets)
     val bucket = Metrics.bucketCol(nBuckets)
 
@@ -78,9 +79,9 @@ object CheckpointedRun {
         val rows = input.groupBy(col("conv_id")).agg(count(lit(1)).as("n_turns"))
           .where(col("n_turns") > skewMaxTurns)
           .select(col("conv_id"), bucket.cast("int").as("b"))
-          .limit(SkewSplit.MaxCollectedGiants + 1)
+          .limit(maxCollectedGiants + 1)
           .as[(String, Int)].collect()
-        if (rows.length > SkewSplit.MaxCollectedGiants)
+        if (rows.length > maxCollectedGiants)
           (Map.empty[Int, Array[String]], true)
         else
           (rows.groupBy(_._2).map { case (b, rs) => b -> rs.map(_._1) }, false)

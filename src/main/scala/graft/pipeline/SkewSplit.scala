@@ -41,14 +41,15 @@ object SkewSplit {
   /** Above this many giant conversations the collected id set stops
     * being "tiny" and the split falls back to join routing (also the
     * bound a bucketed runner must apply to its pre-computed giant
-    * lists — see CheckpointedRun). A `var` ONLY so tests can exercise
-    * the overflow path without materializing 65k+ giant conversations;
-    * production code never writes it.
+    * lists — see CheckpointedRun). Overridable per call via the
+    * `maxCollectedGiants` parameter (tests exercise the overflow path
+    * with a tiny bound instead of 65k+ giant conversations).
     */
-  private[graft] var MaxCollectedGiants = 65536
+  private[graft] val MaxCollectedGiants = 65536
 
   def label(ds: Dataset[graft.schema.Turn], maxTurns: Int,
-            pplBounds: Option[(Double, Double)] = None): DataFrame = {
+            pplBounds: Option[(Double, Double)] = None,
+            maxCollectedGiants: Int = MaxCollectedGiants): DataFrame = {
     val spark = ds.sparkSession
     import spark.implicits._
 
@@ -66,10 +67,10 @@ object SkewSplit {
     // .collect() guarded only AFTERWARDS would OOM first).
     val giantIds = ds.groupBy($"conv_id").agg(count(lit(1)).as("n_turns"))
       .where($"n_turns" > maxTurns).select($"conv_id")
-      .limit(MaxCollectedGiants + 1)
+      .limit(maxCollectedGiants + 1)
       .as[String].collect()
 
-    if (giantIds.length > MaxCollectedGiants)
+    if (giantIds.length > maxCollectedGiants)
       return labelViaJoins(ds, maxTurns, pplBounds)
     labelWithGiants(ds, maxTurns, giantIds, pplBounds)
   }

@@ -93,27 +93,25 @@ class SkewSpec extends AnyFunSuite {
     val expected = OracleFilter.run(turns).map(normalize)
     val maxTurns = 8
     val nGiants = turns.groupBy(_.conv_id).count(_._2.size > maxTurns)
-    val old = graft.pipeline.SkewSplit.MaxCollectedGiants
-    try {
-      graft.pipeline.SkewSplit.MaxCollectedGiants = 3
-      assert(nGiants > 3, s"fixture needs >3 giants, got $nGiants")
-      val labeled = graft.pipeline.SkewSplit.label(ds, maxTurns)
-      val plan = labeled.queryExecution.executedPlan.toString
-      assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
-        s"overflow did not route via joins:\n${plan.take(2000)}")
-      val got = labeled.as[LabeledTurn].collect()
-        .sortBy(t => (t.conv_id, t.turn_idx)).map(normalize)
-      assert(got.toSeq == expected)
+    assert(nGiants > 3, s"fixture needs >3 giants, got $nGiants")
 
-      // checkpointed runner under the same overflow: output equals the
-      // whole-corpus run exactly
-      val root = java.nio.file.Files.createTempDirectory("graft_ovf").toString
-      graft.pipeline.CheckpointedRun.run(ds, root, nBuckets = 4,
-        skewMaxTurns = maxTurns)
-      val ckpt = graft.pipeline.CheckpointedRun.readOutput(spark, root, 4)
-        .as[LabeledTurn].collect()
-        .sortBy(t => (t.conv_id, t.turn_idx)).map(normalize)
-      assert(ckpt.toSeq == expected)
-    } finally graft.pipeline.SkewSplit.MaxCollectedGiants = old
+    val labeled = graft.pipeline.SkewSplit.label(ds, maxTurns,
+      maxCollectedGiants = 3)
+    val plan = labeled.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+      s"overflow did not route via joins:\n${plan.take(2000)}")
+    val got = labeled.as[LabeledTurn].collect()
+      .sortBy(t => (t.conv_id, t.turn_idx)).map(normalize)
+    assert(got.toSeq == expected)
+
+    // checkpointed runner under the same overflow: output equals the
+    // whole-corpus run exactly
+    val root = java.nio.file.Files.createTempDirectory("graft_ovf").toString
+    graft.pipeline.CheckpointedRun.run(ds, root, nBuckets = 4,
+      skewMaxTurns = maxTurns, maxCollectedGiants = 3)
+    val ckpt = graft.pipeline.CheckpointedRun.readOutput(spark, root, 4)
+      .as[LabeledTurn].collect()
+      .sortBy(t => (t.conv_id, t.turn_idx)).map(normalize)
+    assert(ckpt.toSeq == expected)
   }
 }
