@@ -36,6 +36,11 @@ object SparkEntry {
   private val seamRoot: String =
     sys.env.getOrElse("GRAFT_SEAM_DIR",
       s"/tmp/graft_oracle_${ProcessHandle.current().pid()}")
+  /** Marker file identifying a directory as a graft-written seam root —
+    * the only kind of pre-existing non-empty GRAFT_SEAM_DIR
+    * [[prepareSeams]] will recursively delete.
+    */
+  private val SeamMarker = ".graft_seam_root"
   private def oracleSeam(name: String): String = s"$seamRoot/$name"
   private def oracleSeamGlob(name: String): String = s"${oracleSeam(name)}/*.parquet"
 
@@ -104,7 +109,23 @@ object SparkEntry {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete(); ()
     }
-    rm(new java.io.File(seamRoot))
+    val root = new java.io.File(seamRoot)
+    // a CUSTOM root (GRAFT_SEAM_DIR) is only recursively deleted when it
+    // is empty or carries the marker a previous fixture run left —
+    // pointing the env var at an existing directory (a home dir, a data
+    // dir) must fail fast, not wipe the tree. Per-pid default roots are
+    // always ours to clear.
+    if (sys.env.contains("GRAFT_SEAM_DIR") && root.exists()) {
+      val entries = Option(root.list()).getOrElse(Array.empty[String])
+      require(entries.isEmpty || entries.contains(SeamMarker),
+        s"GRAFT_SEAM_DIR $seamRoot exists, is non-empty, and has no " +
+          s"$SeamMarker marker from a previous seam run — refusing to " +
+          "recursively delete it; point GRAFT_SEAM_DIR at an empty or " +
+          "graft-owned directory")
+    }
+    rm(root)
+    java.nio.file.Files.createDirectories(root.toPath)
+    java.nio.file.Files.write(root.toPath.resolve(SeamMarker), Array.empty[Byte])
     // flagship scored-turn seam — qf1/qf1b/qf2 oracles re-derive the
     // whole rules layer from it via graft.oracle.RulesSql
     persistSeam(QualityFilter.score(

@@ -205,6 +205,14 @@ object NGramLM {
       .agg(org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.col("n")).as("n"))
       .as[(Long, Long)]
       .collect()
+    // the collected table is bounded by the NORMALIZED alphabet, not the
+    // corpus: norm maps every char into ≤ ~260 symbols, so grams+ctxs ≤
+    // 260³ + 260² and vocab ≤ 260. Hard guard in case norm is ever
+    // widened without revisiting this driver-side materialization.
+    require(rows.length <= (1 << 25),
+      s"trigram count table has ${rows.length} rows — NGramLM.norm's " +
+        "alphabet grew past the driver-materialization bound; shrink " +
+        "norm or make the build distributed")
     val grams = mutable.LongMap.empty[Long]
     val ctxs = mutable.LongMap.empty[Long]
     var vocab = 0

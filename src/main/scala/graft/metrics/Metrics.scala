@@ -81,7 +81,16 @@ object Metrics {
       def metric(field: String): Long = {
         val names = row.schema.fieldNames
         val i = names.indexWhere(n => n == field || n == s"${src}_$field")
-        if (i < 0 || row.isNullAt(i)) 0L else row.getLong(i)
+        // an unknown field name must fail fast: silently reading 0 for a
+        // renamed accumulator column would report "zero truncation" —
+        // the exact silent failure this metric exists to expose. The 0L
+        // default is reserved for the legitimate null case (a sum over
+        // zero observed rows).
+        if (i < 0)
+          throw new IllegalArgumentException(
+            s"observation '${src}_buckets' has no field '$field' " +
+              s"(have: ${names.mkString(",")})")
+        if (row.isNullAt(i)) 0L else row.getLong(i)
       }
       (src, metric("capped_buckets"), metric("dropped_ids"))
     }

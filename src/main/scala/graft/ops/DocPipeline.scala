@@ -27,11 +27,27 @@ object DocPipeline {
     * labelScored): each call releases the previous call's relation, so
     * repeated invocations in a long-lived session never accumulate
     * pinned storage beyond the latest flags table.
+    *
+    * CONCURRENCY CAVEAT: the slot is process-global, so concurrent
+    * [[labelScored]] calls unpersist each other's flags mid-query. That
+    * is a perf hazard only (the dominant LSH subtree recomputes), never
+    * a correctness one — but a multi-tenant driver should serialize
+    * labelScored calls. Call [[releaseFlagsCache]] when done with the
+    * last returned frame to unpin the final relation.
     */
   @transient private var previousFlags: Option[DataFrame] = None
   private def releasePreviousFlags(current: DataFrame): Unit = synchronized {
     previousFlags.foreach(_.unpersist(blocking = false))
     previousFlags = Some(current)
+  }
+
+  /** Unpin the last labelScored call's flags relation (otherwise it
+    * stays cached for the JVM lifetime). Safe to call once the caller
+    * has finished acting on the returned frame.
+    */
+  def releaseFlagsCache(): Unit = synchronized {
+    previousFlags.foreach(_.unpersist(blocking = false))
+    previousFlags = None
   }
 
   final case class DocConfig(
