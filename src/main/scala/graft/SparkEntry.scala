@@ -146,7 +146,17 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("lang_conf"), col("ppl")),
       "dp1_scores")
     persistSeam(graft.ops.DocPipeline.nearDupIds(docs), "dp1_neardups")
+    // BPE merge-table seam (bpe1): per-word token counts under the
+    // deterministically trained merge table — DuckDB rebuilds per-doc
+    // counts from raw text + this table alone
+    val bpe = graft.lm.Bpe.train(docs, "text", BpeNumMerges)
+    persistSeam(graft.lm.Bpe.wordTokenTable(docs, "text", bpe), "bpe_vocab")
   }
+
+  /** Merge-table size for the bpe1 query/seam pair — one constant so
+    * the query's live-trained model and the seam's are identical.
+    */
+  private val BpeNumMerges = 256
 
   /** Flagship: the quality-filter pipeline over a deterministic
     * synthetic transcript corpus (BASELINE.json north_rule). Driver
@@ -1040,11 +1050,27 @@ object SparkEntry {
     }),
 
     "ts3_bpe_tokens" -> ((s, dir) => {
-      // BPE-ish tokenization: word pieces + standalone punctuation
+      // pre-tokenizer counts: word pieces + standalone punctuation (the
+      // regex BPE shares — Bpe.PreTokenRe is the single source); bpe1
+      // covers the real merge-table tokenizer
       t(s, dir, "documents").groupBy(col("lang"))
-        .agg(sum(size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
+        .agg(sum(size(regexp_extract_all(col("text"), lit(graft.lm.Bpe.PreTokenRe), lit(0))))
           .cast("long").as("n_tokens"))
         .orderBy(col("lang"))
+    }),
+
+    "bpe1_bpe_tokens" -> ((s, dir) => {
+      // REAL BPE tokenization: merge table trained distributed on the
+      // documents corpus (word-count aggregation → deterministic capped
+      // vocabulary → driver merge loop), per-doc token counts via
+      // broadcast-model mapPartitions encode. DuckDB re-derives every
+      // count from raw text: split with the same pre-token regex, join
+      // the persisted word→token-count seam (prepareSeams trains the
+      // identical model — Bpe.train is a pure function of the corpus).
+      val docs = t(s, dir, "documents")
+      val model = graft.lm.Bpe.train(docs, "text", BpeNumMerges)
+      graft.lm.Bpe.tokenCounts(docs, "doc_id", "text", model)
+        .orderBy(col("doc_id"))
     }),
 
     "lid1_langid_docs" -> ((s, dir) => {
@@ -1794,8 +1820,23 @@ object SparkEntry {
          FROM documents GROUP BY source ORDER BY source""",
 
     "ts3_bpe_tokens" ->
-      """SELECT lang, CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_tokens
+      s"""SELECT lang, CAST(sum(len(regexp_extract_all(text, '${graft.lm.Bpe.PreTokenRe}'))) AS BIGINT) AS n_tokens
          FROM documents GROUP BY lang ORDER BY lang""",
+
+    // per-doc BPE token counts rebuilt from first principles: the raw
+    // text is split with the shared pre-token regex and each word's
+    // token count comes from the persisted merge-table seam — only the
+    // greedy merge-table encode itself crosses the seam
+    "bpe1_bpe_tokens" ->
+      s"""WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             unnest(regexp_extract_all(text, '${graft.lm.Bpe.PreTokenRe}')) AS word
+           FROM documents),
+         v AS (SELECT * FROM '${oracleSeamGlob("bpe_vocab")}'),
+         c AS (SELECT w.doc_id, sum(v.n_tokens) AS n
+               FROM w JOIN v USING (word) GROUP BY w.doc_id)
+         SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_tokens
+         FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
+         LEFT JOIN c USING (doc_id) ORDER BY d.doc_id""",
 
     "f10_special_chars" ->
       """WITH d AS (SELECT doc_id, text ||
