@@ -151,6 +151,13 @@ object SparkEntry {
     // counts from raw text + this table alone
     val bpe = graft.lm.Bpe.train(docs, "text", BpeNumMerges)
     persistSeam(graft.lm.Bpe.wordTokenTable(docs, "text", bpe), "bpe_vocab")
+    // qf5: scored-turn seam over the cloned-transcripts corpus (the
+    // conv-near-dup rule's corpus — its ground truth is cd_convs)
+    locally {
+      import s.implicits._
+      persistSeam(QualityFilter.score(
+        clonedTranscripts(s).as[graft.schema.Turn]).toDF(), "qf5_scored")
+    }
   }
 
   /** Merge-table size for the bpe1 query/seam pair — one constant so
@@ -1320,6 +1327,24 @@ object SparkEntry {
         .orderBy(col("rule"))
     }),
 
+    "qf5_conv_neardup_rule" -> ((s, _) => {
+      // the OPT-IN conversation-level near-dup rule composed with the
+      // flagship labels: rules layer re-derived from the persisted
+      // qf5_scored seam; the dropped set comes from the LIVE text-free
+      // LSH path (cd2's machinery — per-turn signatures min-combined,
+      // no conversation text shuffled). The DuckDB oracle re-derives
+      // BOTH halves independently: the rules via RulesSql, the dropped
+      // set via brute-force jaccard over the cd_convs seam.
+      import s.implicits._
+      val labeled = QualityFilter.labelScored(
+        readSeam(s, "qf5_scored").as[graft.schema.ScoredTurn])
+      val dropped = QualityFilter.convNearDupDropIds(clonedTranscripts(s))
+      QualityFilter.withConvNearDup(labeled, dropped)
+        .select(col("conv_id"), col("turn_idx"), col("keep"),
+          concat_ws("|", col("drop_reasons")).as("reasons"))
+        .orderBy(col("conv_id"), col("turn_idx"))
+    }),
+
     "qf3_ppl_iqr" -> ((s, _) => {
       // OPT-IN IQR perplexity rule (SURVEY §7.1 sketch, VERDICT r3 #8):
       // bounds = exact distributed quartiles of the eligible-turn ppl
@@ -1604,23 +1629,29 @@ object SparkEntry {
                (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS j
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)"""
 
-  /** Brute-force conversation-text jaccard over the cd_convs fixture
-    * seam — the shared ground truth for cd1 (text-level LSH) and cd2
-    * (min-combined turn-level signatures).
+  /** Brute-force conversation-text jaccard CTE chain over the cd_convs
+    * fixture seam (`<prefix>w` → `<prefix>sh` → `<prefix>p(id_a, id_b,
+    * j)`) — the shared ground truth for cd1 (text-level LSH), cd2
+    * (min-combined turn-level signatures), and qf5's dropped set. The
+    * prefix keeps the names composable with RulesSql.labelCtes (which
+    * owns w/v/c/r).
     */
-  private def convNearDupBruteSql: String =
-    s"""WITH w AS (SELECT conv_id,
+  private def convBruteCtes(prefix: String): String =
+    s"""${prefix}w AS (SELECT conv_id,
              list_filter(string_split_regex(lower(conv_text), '\\s+'), x -> x <> '') AS toks
            FROM '${oracleSeamGlob("cd_convs")}'
            WHERE conv_text IS NOT NULL AND length(trim(conv_text)) > 0),
-         sh AS (SELECT conv_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         ${prefix}sh AS (SELECT conv_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
              ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS g
-           FROM w),
-         p AS (SELECT a.conv_id AS id_a, b.conv_id AS id_b,
+           FROM ${prefix}w),
+         ${prefix}p AS (SELECT a.conv_id AS id_a, b.conv_id AS id_b,
              CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
                (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS j
-           FROM sh a JOIN sh b ON a.conv_id < b.conv_id)
+           FROM ${prefix}sh a JOIN ${prefix}sh b ON a.conv_id < b.conv_id)"""
+
+  private def convNearDupBruteSql: String =
+    s"""WITH ${convBruteCtes("")}
          SELECT id_a, id_b, round(j, 6) AS jaccard FROM p
          WHERE j >= 0.7 ORDER BY id_a, id_b"""
 
@@ -2197,6 +2228,16 @@ object SparkEntry {
 
     "qf4_scrub_counts" ->
       graft.oracle.RulesSql.scrubSpanCountsSql(oracleSeamGlob("qf_scored")),
+
+    // relabel the qf5 seam + drop the non-survivor side of every
+    // brute-force near-dup pair (threshold = the rule's config default)
+    "qf5_conv_neardup_rule" ->
+      graft.oracle.RulesSql.relabelWithConvDropSql(
+        oracleSeamGlob("qf5_scored"),
+        s"""${convBruteCtes("c")},
+           nd AS (SELECT DISTINCT id_b AS conv_id FROM cp
+                  WHERE j >= ${QualityFilter.ConvNearDupConfig().threshold})""",
+        "nd"),
 
     "cd1_conversation_neardup" -> convNearDupBruteSql,
 

@@ -122,6 +122,26 @@ object RulesSql {
          ${scrubSql("text")} AS scrubbed_text, lang, round(ppl, 4) AS ppl
        FROM r ORDER BY conv_id, turn_idx"""
 
+  /** Relabel + the opt-in conversation near-dup rule (qf5):
+    * `extraCtes` must define relation `droppedRel(conv_id)` — the
+    * non-survivor conversations, derived by the caller from brute-force
+    * pair ground truth — appended to the labelCtes chain (names w/v/c/r
+    * are taken). Every turn of a dropped conversation flips keep=false
+    * and gets RuleConvNearDup appended LAST, mirroring
+    * QualityFilter.withConvNearDup.
+    */
+  def relabelWithConvDropSql(scoredGlob: String, extraCtes: String,
+                             droppedRel: String): String =
+    s"""${labelCtes(scoredGlob)},
+       $extraCtes,
+       f AS (SELECT r.*, (conv_id IN (SELECT conv_id FROM $droppedRel)) AS cnd
+             FROM r)
+       SELECT conv_id, turn_idx, (reasons = '' AND NOT cnd) AS keep,
+         CASE WHEN NOT cnd THEN reasons
+              WHEN reasons = '' THEN ${q(RuleConvNearDup)}
+              ELSE reasons || '|' || ${q(RuleConvNearDup)} END AS reasons
+       FROM f ORDER BY conv_id, turn_idx"""
+
   /** Corpus-wide scrubbed-span totals per scrub rule (qf4) — the third
     * counter dimension of the north rule (kept/dropped/SCRUBBED per
     * rule), re-derived from first principles: the chain is rendered

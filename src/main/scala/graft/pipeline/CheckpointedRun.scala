@@ -39,7 +39,8 @@ object CheckpointedRun {
           metricsRoot: Option[String] = None,
           skewMaxTurns: Int = 0,
           afterDataCommit: Int => Unit = _ => (),
-          maxCollectedGiants: Int = SkewSplit.MaxCollectedGiants): RunResult = {
+          maxCollectedGiants: Int = SkewSplit.MaxCollectedGiants,
+          convNearDup: Option[QualityFilter.ConvNearDupConfig] = None): RunResult = {
     val table = SnapshotTable(outRoot, nBuckets)
     val bucket = Metrics.bucketCol(nBuckets)
 
@@ -87,9 +88,31 @@ object CheckpointedRun {
           (rows.groupBy(_._2).map { case (b, rs) => b -> rs.map(_._1) }, false)
       }
 
+    // opt-in conversation near-dup: near-dup PAIRS cross conv-hash
+    // buckets, so the dropped-conversation set is computed ONCE over
+    // the FULL corpus (deterministic LSH — a resumed run recomputes the
+    // identical set, keeping re-run buckets bit-identical) and joined
+    // into each bucket's labels. Persisted: every to-do bucket reuses
+    // the one candidate-generation pass. The cd2 capped-bucket
+    // truncation observation is harvested off the SAME materializing
+    // action and lands in the metrics root as data (north rule:
+    // recall-affecting truncation must be queryable, not buried in
+    // logs).
+    val dropped = convNearDup.filter(_ => todo.nonEmpty).map { cfg =>
+      val d = QualityFilter.convNearDupDropIds(input.toDF(), cfg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      metricsRoot match {
+        case Some(mr) =>
+          val trunc = Metrics.truncationMetrics(d, Seq("cd2"))
+          SnapshotTable(s"$mr/truncation", 1).commitBucket(trunc, 0)
+        case None => d.count() // materialize the cache in one pass
+      }
+      d
+    }
+
     todo.foreach { b =>
       val bucketInput = input.where(bucket === b)
-      val labeled =
+      val base =
         if (skewMaxTurns <= 0) QualityFilter.label(bucketInput)
         // censusOverflow: the corpus-wide giant count exceeded the
         // bound, so no bucket gets an inlined isin literal list (plan
@@ -98,6 +121,10 @@ object CheckpointedRun {
           SkewSplit.labelViaJoins(bucketInput, skewMaxTurns)
         else SkewSplit.labelWithGiants(bucketInput, skewMaxTurns,
           giantsByBucket.getOrElse(b, Array.empty))
+      val labeled = dropped match {
+        case Some(d) => QualityFilter.withConvNearDup(base, d)
+        case None => base
+      }
       table.commitBucket(labeled, b)
       afterDataCommit(b)
       metricTables.foreach { case (statsT, lineageT) =>
@@ -110,6 +137,7 @@ object CheckpointedRun {
         lineageT.commitBucket(Metrics.ruleLineage(committed, nBuckets), b)
       }
     }
+    dropped.foreach(_.unpersist(blocking = false))
     RunResult(table.currentVersion, todo, done.toSeq.sorted)
   }
 

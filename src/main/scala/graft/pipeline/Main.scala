@@ -10,10 +10,15 @@ import graft.schema.Turn
   *     --input  <parquet dir of (conv_id,turn_idx,role,text,tool,ts)> \
   *     --output <snapshot table root> \
   *     [--metrics <metrics table root>] \
-  *     [--buckets 256] [--skew-max-turns 0]
+  *     [--buckets 256] [--skew-max-turns 0] \
+  *     [--conv-neardup-threshold 0.7]
   *
   * Runs checkpoint-resumable: re-submitting after a failure skips
-  * committed buckets. Lineage + counters land under --metrics.
+  * committed buckets. Lineage + counters land under --metrics
+  * (`bucket_stats`, `rule_lineage`, and — when the opt-in
+  * --conv-neardup-threshold enables the conversation near-dup rule —
+  * the `truncation` table recording any capped-LSH-bucket recall
+  * trades).
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -33,8 +38,11 @@ object Main {
     import spark.implicits._
 
     val turns = spark.read.schema(Turn.schema).parquet(input).as[Turn]
+    val convNearDup = opts.get("conv-neardup-threshold").map(t =>
+      QualityFilter.ConvNearDupConfig(threshold = t.toDouble))
     val res = CheckpointedRun.run(turns, output, buckets,
-      metricsRoot = opts.get("metrics"), skewMaxTurns = skewMax)
+      metricsRoot = opts.get("metrics"), skewMaxTurns = skewMax,
+      convNearDup = convNearDup)
     // scalastyle:off println — job summary on stdout is the contract
     println(s"graft: snapshot v${res.snapshotVersion}; " +
       s"computed buckets ${res.bucketsComputed.mkString(",")}; " +

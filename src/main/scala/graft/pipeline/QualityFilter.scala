@@ -149,4 +149,48 @@ object QualityFilter {
     import spark.implicits._
     label(spark.read.schema(Turn.schema).parquet(inputPath).as[Turn])
   }
+
+  /** Parameters of the OPT-IN conversation-level near-dup drop stage
+    * (`drop:conv_neardup`): the text-free scale path
+    * ([[graft.ops.Dedup.conversationMinHashPairs]] — per-turn MinHash
+    * signatures min-combined per conversation, keys-only shuffles,
+    * exact verify on LSH candidates only).
+    */
+  final case class ConvNearDupConfig(
+      numHashes: Int = 64, bands: Int = 32, shingleK: Int = 3,
+      threshold: Double = 0.7, maxBucket: Int = 256)
+
+  /** Conversations to DROP under the conv-near-dup rule: the
+    * non-survivor (lexicographically larger) side of every verified
+    * pair — greedy min-id survivors, the exact-dedup convention. One
+    * global stage: pairs can cross any bucketing of the corpus, so a
+    * bucketed runner computes this ONCE over the full input
+    * (CheckpointedRun) and applies it per bucket.
+    */
+  def convNearDupDropIds(turns: DataFrame,
+                         cfg: ConvNearDupConfig = ConvNearDupConfig()): DataFrame =
+    graft.ops.Dedup.conversationMinHashPairs(turns,
+        numHashes = cfg.numHashes, bands = cfg.bands,
+        shingleK = cfg.shingleK, threshold = cfg.threshold,
+        maxBucket = cfg.maxBucket)
+      .select(col("id_b").as("conv_id")).distinct()
+
+  /** Apply the opt-in conversation near-dup rule to a labeled frame:
+    * every turn of a dropped conversation gets keep=false and
+    * RuleConvNearDup appended (LAST — conversation-level rules follow
+    * the per-turn RuleOrder) to its lineage array. One left join on
+    * conv_id; AQE broadcasts the dropped-id side when its runtime size
+    * allows (no hard hint — on a clone-heavy corpus the set is
+    * O(#conversations)).
+    */
+  def withConvNearDup(labeled: DataFrame, droppedConvs: DataFrame): DataFrame = {
+    val flagged = droppedConvs.select(col("conv_id"), lit(true).as("__cnd"))
+    labeled.join(flagged, Seq("conv_id"), "left")
+      .withColumn("drop_reasons",
+        when(col("__cnd"),
+          concat(col("drop_reasons"), array(lit(RuleConvNearDup))))
+          .otherwise(col("drop_reasons")))
+      .withColumn("keep", col("keep") && !coalesce(col("__cnd"), lit(false)))
+      .drop("__cnd")
+  }
 }

@@ -111,6 +111,16 @@ object RuleConfig {
     RuleLang, RulePpl
   )
 
+  /** OPT-IN conversation-level near-dup rule (not in [[RuleOrder]]: the
+    * per-turn rules above evaluate row-local/window state; this one is
+    * a corpus-level LSH stage applied afterwards, appended LAST to the
+    * lineage array). A conversation is dropped when it is the
+    * NON-SURVIVOR side of any verified near-dup pair — the survivor is
+    * the lexicographically smaller conv_id, the same greedy min-id
+    * convention as exact dedup (Dedup.exactSurvivors).
+    */
+  val RuleConvNearDup = "conv_neardup"
+
   // ------------------------------------------------------------- scrubbing
 
   /** Whitespace normalization applied before everything else (C3,

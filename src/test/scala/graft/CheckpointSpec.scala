@@ -105,6 +105,117 @@ class CheckpointSpec extends AnyFunSuite {
     assert(res2.bucketsComputed.isEmpty)
   }
 
+  test("opt-in conv near-dup rule: bucketed run == direct apply, split == unsplit") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // planted clones: every conversation whose index ends in 0 is
+    // duplicated verbatim under a "d" prefix — the clone sorts larger,
+    // so it is the non-survivor side of a jaccard-1.0 pair; clone and
+    // original hash into DIFFERENT buckets (the cross-bucket case the
+    // global stage exists for)
+    val base = TranscriptGen.generateLocal(50, seed = 21, skewCap = 200)
+    val clones = base.filter(_.conv_id.endsWith("0")).map(t => t.copy(conv_id = "d" + t.conv_id))
+    val ds = spark.createDataset(base ++ clones)
+    val cfg = QualityFilter.ConvNearDupConfig()
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[LabeledTurn].collect().sortBy(t => (t.conv_id, t.turn_idx))
+        .map(t => t.copy(drop_reasons = t.drop_reasons.toList)).toSeq
+
+    val direct = QualityFilter.withConvNearDup(
+      QualityFilter.label(ds), QualityFilter.convNearDupDropIds(ds.toDF(), cfg))
+    val directRows = canon(direct)
+
+    // the rule actually fires: every cloned conversation (and nothing
+    // else) carries conv_neardup on every turn
+    val flagged = directRows.filter(_.drop_reasons.contains("conv_neardup"))
+      .map(_.conv_id).toSet
+    assert(flagged == clones.map(_.conv_id).toSet, s"flagged: $flagged")
+    assert(directRows.filter(t => flagged.contains(t.conv_id)).forall(!_.keep))
+
+    val root1 = Files.createTempDirectory("graft_cnd1").toString
+    val res1 = CheckpointedRun.run(ds, root1, 4, convNearDup = Some(cfg))
+    assert(res1.bucketsComputed == (0 until 4))
+    assert(canon(CheckpointedRun.readOutput(spark, root1, 4)) == directRows)
+
+    // skew-split path composes with the rule
+    val root2 = Files.createTempDirectory("graft_cnd2").toString
+    CheckpointedRun.run(ds, root2, 4, skewMaxTurns = 5, convNearDup = Some(cfg))
+    assert(canon(CheckpointedRun.readOutput(spark, root2, 4)) == directRows)
+
+    // metrics wiring: truncation table lands next to stats/lineage and
+    // records zero truncation on this corpus
+    val root3 = Files.createTempDirectory("graft_cnd3").toString
+    val mroot = Files.createTempDirectory("graft_cnd3_m").toString
+    CheckpointedRun.run(ds, root3, 2, metricsRoot = Some(mroot),
+      convNearDup = Some(cfg))
+    val trunc = graft.io.SnapshotTable(s"$mroot/truncation", 1).read(spark)
+    val row = trunc.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(row.toSeq == Seq(("cd2", 0L, 0L)))
+    // lineage sees the new rule
+    val lineage = graft.io.SnapshotTable(s"$mroot/rule_lineage", 2).read(spark)
+    assert(lineage.where(col("rule") === "conv_neardup").count() > 0)
+  }
+
+  test("file-level stats prune a ts-range read to only the overlapping files") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.io.SnapshotTable
+    val root = Files.createTempDirectory("graft_stats").toString
+    val tbl = SnapshotTable(root, 2)
+    def ts(h: Int) = new java.sql.Timestamp(1700000000000L + h * 3600000L)
+    val rows = (0 until 40).map(i => (f"c$i%03d", i, ts(i)))
+    val df = spark.createDataFrame(rows).toDF("conv_id", "turn_idx", "ts")
+    // 2 buckets x 2 range-partitioned files -> 4 files with disjoint
+    // ts ranges per bucket
+    tbl.commitBucket(df.where($"turn_idx" < 20).repartitionByRange(2, $"ts"), 0)
+    tbl.commitBucket(df.where($"turn_idx" >= 20).repartitionByRange(2, $"ts"), 1)
+
+    val files = tbl.filesAt(tbl.currentVersion)
+    assert(files.size == 4, files.map(_.path).mkString(","))
+    // every file carries rows + string/long/ts bounds from its footer
+    files.foreach { f =>
+      assert(f.rows > 0)
+      assert(f.bounds.contains("conv_id") && f.bounds.contains("ts") &&
+        f.bounds.contains("turn_idx"), s"${f.path}: ${f.bounds.keySet}")
+    }
+
+    // a point ts predicate overlaps exactly ONE file (ranges disjoint)
+    val h0 = SnapshotTable.micros(ts(0))
+    val pruned = tbl.readAt(spark, tbl.currentVersion,
+      f => SnapshotTable.overlapsLong(f, "ts", h0, h0))
+    assert(pruned.inputFiles.length == 1, pruned.inputFiles.mkString(","))
+    assert(pruned.where($"ts" === ts(0)).count() == 1)
+
+    // conv-prefix pruning: only bucket 0's files hold c000..c019
+    val convPruned = tbl.readAt(spark, tbl.currentVersion,
+      f => SnapshotTable.overlapsString(f, "conv_id", "c000", "c003"))
+    assert(convPruned.inputFiles.length < 4 && convPruned.inputFiles.nonEmpty)
+    assert(convPruned.where($"conv_id" <= "c003").count() == 4)
+
+    // pruned-read correctness: range read == full read filtered
+    val lo = ts(5); val hi = ts(25)
+    val viaPrune = tbl.readAt(spark, tbl.currentVersion,
+        f => SnapshotTable.overlapsLong(f, "ts",
+          SnapshotTable.micros(lo), SnapshotTable.micros(hi)))
+      .where($"ts" >= lo && $"ts" <= hi)
+      .select($"conv_id").as[String].collect().sorted.toSeq
+    val viaFull = tbl.read(spark).where($"ts" >= lo && $"ts" <= hi)
+      .select($"conv_id").as[String].collect().sorted.toSeq
+    assert(viaPrune == viaFull && viaPrune.size == 21)
+
+    // an all-pruned read keeps the schema, returns zero rows
+    val none = tbl.readAt(spark, tbl.currentVersion, _ => false)
+    assert(none.columns.toSeq == Seq("conv_id", "turn_idx", "ts"))
+    assert(none.count() == 0)
+
+    // time travel still prunes against THAT snapshot's file set
+    val v1Files = tbl.filesAt(1)
+    assert(v1Files.map(_.bucket).toSet == Set(0))
+  }
+
   test("a second writer's commit never silently drops the first's buckets") {
     val root = Files.createTempDirectory("graft_ckpt4").toString
     val t1 = graft.io.SnapshotTable(root, 4)
