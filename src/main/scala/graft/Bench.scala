@@ -60,10 +60,14 @@ object Bench {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
-  /** Child mode: one measurement in a pristine JVM. Prints the measured
-    * seconds (after one warm-up run) as `GRAFT_CHILD_SECS <v>`.
+  /** Child mode: one measurement in a pristine JVM. Warm-up (codegen +
+    * JIT) runs on the SMALL warm corpus — with the round-5 scaling
+    * corpus a full-size warm run would double the 1-core child's
+    * wall-clock for nothing: the measured runs are long enough (minutes)
+    * that any residual first-run compile tax is noise-level, which is
+    * exactly why the corpus was grown. Prints `GRAFT_CHILD_SECS <v>`.
     */
-  private def childMain(cores: Int, path: String): Unit = {
+  private def childMain(cores: Int, path: String, warmPath: String): Unit = {
     val s = session(cores)
     if (sys.env.contains("GRAFT_BENCH_DEBUG")) {
       import org.apache.spark.scheduler._
@@ -81,12 +85,16 @@ object Bench {
     }
     try {
       import org.apache.spark.sql.graftshim.ColumnShim.reExecute
-      val plan = pipelinePlan(s, path)
-      timed(reExecute(plan).collect()) // warm-up: codegen + JIT
+      val warmPlan = pipelinePlan(s, warmPath)
+      timed(reExecute(warmPlan).collect()) // warm-up: codegen + JIT
       System.err.println("GRAFT_CHILD_WARM_DONE")
       // min of several runs: the host shows multi-second wall-clock
-      // noise; minimum = capability, which is what scaling compares
-      val runs = sys.env.getOrElse("GRAFT_CHILD_RUNS", "2").toInt
+      // noise; minimum = capability, which is what scaling compares.
+      // Default 1 since round 5: a single multi-minute run amortizes
+      // noise bursts internally (the old 2-of-20s-runs shape did not),
+      // and the median across fork PAIRS still votes out a bad draw.
+      val plan = pipelinePlan(s, path)
+      val runs = sys.env.getOrElse("GRAFT_CHILD_RUNS", "1").toInt
       val m = (1 to runs).map(_ => timed(reExecute(plan).collect())).min
       println(f"GRAFT_CHILD_SECS $m%.3f")
     } finally s.stop()
@@ -102,14 +110,18 @@ object Bench {
     "java.base/sun.security.action", "java.base/sun.util.calendar"
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  private def forkMeasure(cores: Int, path: String): Double = {
+  private def forkMeasure(cores: Int, path: String, warmPath: String): Double = {
     val java = sys.props("java.home") + "/bin/java"
     val cmd = Seq(java) ++ addOpens ++ Seq(
       "-Xmx8g", "-Dspark.ui.enabled=false",
       "-cp", sys.props("java.class.path"),
-      "graft.Bench", "--child", cores.toString, path)
+      "graft.Bench", "--child", cores.toString, path, warmPath)
     val pb = new ProcessBuilder(cmd: _*)
-    pb.redirectErrorStream(false)
+    // stderr must flow THROUGH, not into an undrained pipe: a child
+    // emitting more than the ~64 KiB pipe capacity (Spark WARNs over a
+    // multi-minute run, GRAFT_STAGE debug lines) would block on write
+    // while the parent blocks reading stdout — deadlock
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     val proc = pb.start()
     val out = new String(proc.getInputStream.readAllBytes())
     proc.waitFor()
@@ -119,18 +131,21 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.length >= 3 && args(0) == "--child") {
-      childMain(args(1).toInt, args(2)); return
+    if (args.length >= 4 && args(0) == "--child") {
+      childMain(args(1).toInt, args(2), args(3)); return
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // 350k convs ≈ 1.8M turns: big enough that (a) the ~1.5 s serial
-    // driver share of one pipeline execution is < 5% of even the 4N-core
-    // run (serial share alone capped the round-1 ratio near 0.93) and
-    // (b) a single host-noise burst is amortized INSIDE a run instead of
-    // dominating it (short ~20 s runs were how the round-1 official
-    // number landed at 0.697 while the same harness measured 0.935)
-    val benchConvs = sys.env.getOrElse("GRAFT_BENCH_CONVS", "350000").toLong
+    // 1.4M convs ≈ 7.3M turns (round 5; was 350k convs ≈ 1.8M): big
+    // enough that (a) the ~1.5 s serial driver share of one pipeline
+    // execution is noise even on the 4N-core leg, and (b) the 4N-core
+    // leg itself runs MINUTES, not ~35 s — the round-4 margin analysis
+    // showed single host-noise bursts comparable to a whole short
+    // high-core run (one of four frozen-harness medians landed at
+    // 0.777); a burst inside a multi-minute run moves it by percents,
+    // not tens of percents
+    val benchConvs = sys.env.getOrElse("GRAFT_BENCH_CONVS", "1400000").toLong
+    val warmConvs = sys.env.getOrElse("GRAFT_WARM_CONVS", "50000").toLong
     val headlineNames = Seq(
       "q1_pricing_agg", "q2_join_revenue", "a8_outlier_iqr",
       "w1_window_sessions", "dd2_minhash_pairs", "ann1_brute_topk",
@@ -156,15 +171,33 @@ object Bench {
       name -> (if (warm < 0 || a < 0 || b < 0) -1.0 else math.min(a, b)) // steady-state
     }
 
-    // ---- scaling corpus (written once, read by both children)
+    // ---- scaling corpora (written once, read by every child): the big
+    // one is measured, the small one only warms each child's codegen/JIT
     val corpusPath = "/tmp/graft_bench_transcripts.parquet"
+    val warmPath = "/tmp/graft_bench_warm.parquet"
     val nTurns = {
       val ds = TranscriptGen.generate(spark, benchConvs, seed = 42L,
         skewCap = 20000, partitions = cpus * 2)
       ds.write.mode("overwrite").parquet(corpusPath)
+      TranscriptGen.generate(spark, warmConvs, seed = 43L,
+        skewCap = 2000, partitions = cpus)
+        .write.mode("overwrite").parquet(warmPath)
       spark.read.parquet(corpusPath).count()
     }
     spark.stop()
+
+    // writeback drain: multi-GB /tmp writes put this host into dirty-
+    // page storms (load 20+ with zero CPU consumers, 4x wall-clock
+    // swings — BENCH/BASELINE.md). Never start a timed fork until the
+    // dirty set has flushed.
+    new ProcessBuilder("sync").inheritIO().start().waitFor()
+    val drainDeadline = System.nanoTime() + 180L * 1000000000L
+    def dirtyKb(): Long =
+      scala.util.Try(scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .collectFirst { case l if l.startsWith("Dirty:") =>
+          l.split("\\s+")(1).toLong }.getOrElse(0L)).getOrElse(0L)
+    while (dirtyKb() > 65536 && System.nanoTime() < drainDeadline)
+      Thread.sleep(2000)
 
     // Scaling pair: N vs 4N cores on the SAME input. Default N=1: on
     // this single-host sandbox per-core DRAM bandwidth is flat up to ~4
@@ -191,10 +224,10 @@ object Bench {
     val measured = (0 until pairs).map { i =>
       val lowFirst = i % 2 == 0
       val (sN, s4) =
-        if (lowFirst) { val a = forkMeasure(nLow, corpusPath)
-          (a, forkMeasure(nHigh, corpusPath)) }
-        else { val b = forkMeasure(nHigh, corpusPath)
-          (forkMeasure(nLow, corpusPath), b) }
+        if (lowFirst) { val a = forkMeasure(nLow, corpusPath, warmPath)
+          (a, forkMeasure(nHigh, corpusPath, warmPath)) }
+        else { val b = forkMeasure(nHigh, corpusPath, warmPath)
+          (forkMeasure(nLow, corpusPath, warmPath), b) }
       System.err.println(f"GRAFT_PAIR $i secs_n=$sN%.3f secs_4n=$s4%.3f eff=${sN / s4 / 4.0}%.3f")
       (sN, s4)
     }.filter { case (a, b) => a > 0 && b > 0 && !a.isNaN && !b.isNaN }

@@ -116,6 +116,10 @@ object SparkEntry {
     // dir) must fail fast, not wipe the tree. Per-pid default roots are
     // always ours to clear.
     if (sys.env.contains("GRAFT_SEAM_DIR") && root.exists()) {
+      // a REGULAR file (list() == null) must fail too — an empty entry
+      // list only licenses deletion of an empty directory
+      require(root.isDirectory,
+        s"GRAFT_SEAM_DIR $seamRoot exists and is not a directory — refusing to delete it")
       val entries = Option(root.list()).getOrElse(Array.empty[String])
       require(entries.isEmpty || entries.contains(SeamMarker),
         s"GRAFT_SEAM_DIR $seamRoot exists, is non-empty, and has no " +

@@ -149,11 +149,18 @@ final class SnapshotTable(val root: String, val nBuckets: Int) {
   def readAt(spark: SparkSession, version: Int, prune: DataFile => Boolean): DataFrame = {
     val done = bucketsAt(version)
     if (done.isEmpty) return spark.emptyDataFrame
-    val entries = filesAt(version).filter(f => done.contains(f.bucket))
-    val covered = entries.map(_.bucket).toSet
-    val kept = entries.filter(prune).map(f => s"$root/${f.path}")
-    val legacyDirs = done.diff(covered).toSeq.sorted.map(b => s"$root/data/bucket=$b")
-    val paths = kept ++ legacyDirs
+    val byBucket = filesAt(version).filter(f => done.contains(f.bucket)).groupBy(_.bucket)
+    val (fileBuckets, dirBuckets) = done.toSeq.sorted.partition { b =>
+      // file-granularity pruning only when every manifest path still
+      // exists: a later re-commit of the bucket (idempotent overwrite)
+      // replaces its part files, and the dir-based fallback then gives
+      // the same read-newest-data semantics the unpruned readAt has for
+      // time travel over overwritten buckets (no deleted-path crash)
+      byBucket.get(b).exists(_.forall(f => new java.io.File(s"$root/${f.path}").isFile))
+    }
+    val kept = fileBuckets.flatMap(b => byBucket(b).filter(prune))
+      .map(f => s"$root/${f.path}")
+    val paths = kept ++ dirBuckets.map(b => s"$root/data/bucket=$b")
     if (paths.isEmpty) {
       // all files pruned: preserve the snapshot's schema, zero rows
       readAt(spark, version).where(org.apache.spark.sql.functions.lit(false))
@@ -316,15 +323,37 @@ object SnapshotTable {
 
   def overlapsString(f: DataFile, column: String, lo: String, hi: String): Boolean =
     f.bounds.get(column) match {
-      case Some(StringBounds(mn, mx)) => mx >= lo && mn <= hi
+      case Some(StringBounds(mn, mx)) =>
+        utf8Compare(mx, lo) >= 0 && utf8Compare(mn, hi) <= 0
       case _ => true
     }
 
+  /** Unsigned UTF-8 byte order — the order parquet computed the binary
+    * min/max in (and Spark's UTF8String order). Comparing footer
+    * bounds with Java's UTF-16 String order instead would mis-rank
+    * values at/above U+FFFF against astral code points and could prune
+    * a file that contains a matching row.
+    */
+  private[io] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(StandardCharsets.UTF_8)
+    val y = b.getBytes(StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   /** Micros-since-epoch for a timestamp literal — the unit of
-    * TIMESTAMP_MICROS long bounds.
+    * TIMESTAMP_MICROS long bounds. floorDiv: plain `/` truncates
+    * toward zero and mis-places pre-epoch fractional seconds by up to
+    * a second.
     */
   def micros(ts: java.sql.Timestamp): Long =
-    ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
 
   /** (row count, column bounds) from one parquet footer. Bounds merge
     * across row groups; a row group with MISSING stats for a column
@@ -375,8 +404,10 @@ object SnapshotTable {
                   case (Some(LongBounds(mn, mx)), l: LongBounds) =>
                     LongBounds(math.min(mn, l.min), math.max(mx, l.max))
                   case (Some(StringBounds(mn, mx)), s: StringBounds) =>
-                    StringBounds(if (s.min < mn) s.min else mn,
-                      if (s.max > mx) s.max else mx)
+                    // merge in the same unsigned-UTF-8 order parquet
+                    // computed the per-block stats in
+                    StringBounds(if (utf8Compare(s.min, mn) < 0) s.min else mn,
+                      if (utf8Compare(s.max, mx) > 0) s.max else mx)
                   case _ => nb
                 }
               }

@@ -44,6 +44,32 @@ object CheckpointedRun {
     val table = SnapshotTable(outRoot, nBuckets)
     val bucket = Metrics.bucketCol(nBuckets)
 
+    // LABEL-SEMANTICS guard: the opt-in conv-near-dup rule changes what
+    // the committed labels MEAN, so a resume must run with the same
+    // setting the committed buckets were produced under — otherwise the
+    // table silently mixes semantics per bucket. The first run records
+    // the setting next to the manifests; later runs must match it while
+    // any bucket is already committed. (skew-max-turns is NOT recorded:
+    // the split changes the plan, never the labels — CheckpointSpec
+    // pins split == unsplit.)
+    locally {
+      import java.nio.charset.StandardCharsets.UTF_8
+      val cfgFile = java.nio.file.Paths.get(outRoot, "_graft", "labeling.cfg")
+      val cfgStr = convNearDup match {
+        case Some(c) =>
+          s"conv_neardup=${c.numHashes},${c.bands},${c.shingleK},${c.threshold},${c.maxBucket}"
+        case None => "conv_neardup=off"
+      }
+      if (java.nio.file.Files.exists(cfgFile)) {
+        val prior = new String(java.nio.file.Files.readAllBytes(cfgFile), UTF_8).trim
+        require(prior == cfgStr || table.completedBuckets.isEmpty,
+          s"output table $outRoot was partially produced under '$prior' but this " +
+            s"run asks for '$cfgStr' — finish the run with the original setting " +
+            "or start a fresh output root")
+      }
+      java.nio.file.Files.write(cfgFile, cfgStr.getBytes(UTF_8))
+    }
+
     // metrics are snapshot tables of their own (the "Iceberg metrics
     // table"): committed per bucket with the same atomic-manifest
     // semantics as the data, so lineage is never ahead of or behind

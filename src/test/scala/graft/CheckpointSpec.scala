@@ -139,6 +139,16 @@ class CheckpointSpec extends AnyFunSuite {
     assert(res1.bucketsComputed == (0 until 4))
     assert(canon(CheckpointedRun.readOutput(spark, root1, 4)) == directRows)
 
+    // semantics guard: resuming the same table WITHOUT the rule (or
+    // with different parameters) must fail fast, never mix labels
+    val e = intercept[IllegalArgumentException] {
+      CheckpointedRun.run(ds, root1, 4)
+    }
+    assert(e.getMessage.contains("conv_neardup"))
+    intercept[IllegalArgumentException] {
+      CheckpointedRun.run(ds, root1, 4, convNearDup = Some(cfg.copy(threshold = 0.9)))
+    }
+
     // skew-split path composes with the rule
     val root2 = Files.createTempDirectory("graft_cnd2").toString
     CheckpointedRun.run(ds, root2, 4, skewMaxTurns = 5, convNearDup = Some(cfg))
@@ -214,6 +224,14 @@ class CheckpointSpec extends AnyFunSuite {
     // time travel still prunes against THAT snapshot's file set
     val v1Files = tbl.filesAt(1)
     assert(v1Files.map(_.bucket).toSet == Set(0))
+
+    // after a bucket re-commit (idempotent overwrite -> new part
+    // files), pruned time travel to the old snapshot must fall back to
+    // dir granularity for that bucket — same read-newest semantics as
+    // the unpruned readAt, never a deleted-path crash
+    tbl.commitBucket(df.where($"turn_idx" < 20).repartition(3), 0)
+    val stale = tbl.readAt(spark, 1, _ => false)
+    assert(stale.count() == 20)
   }
 
   test("a second writer's commit never silently drops the first's buckets") {
