@@ -67,7 +67,7 @@ object Bench {
     * that any residual first-run compile tax is noise-level, which is
     * exactly why the corpus was grown. Prints `GRAFT_CHILD_SECS <v>`.
     */
-  private def childMain(cores: Int, path: String, warmPath: String): Unit = {
+  private def childMain(cores: Int, path: String, warmPath: String, runs: Int): Unit = {
     val s = session(cores)
     if (sys.env.contains("GRAFT_BENCH_DEBUG")) {
       import org.apache.spark.scheduler._
@@ -88,13 +88,14 @@ object Bench {
       val warmPlan = pipelinePlan(s, warmPath)
       timed(reExecute(warmPlan).collect()) // warm-up: codegen + JIT
       System.err.println("GRAFT_CHILD_WARM_DONE")
-      // min of several runs: the host shows multi-second wall-clock
-      // noise; minimum = capability, which is what scaling compares.
-      // Default 1 since round 5: a single multi-minute run amortizes
-      // noise bursts internally (the old 2-of-20s-runs shape did not),
-      // and the median across fork PAIRS still votes out a bad draw.
+      // min of `runs` runs: the host shows burst noise; minimum =
+      // capability, which is what scaling compares. The parent sizes
+      // `runs` per leg for EQUAL BURST EXPOSURE — the 4N-core leg is
+      // ~4× shorter per run, so it takes min-of-more runs spanning
+      // comparable total wall-clock to the one long N-core run; a
+      // burst then has a similar chance of contaminating either leg's
+      // estimate, and the min discards the contaminated run.
       val plan = pipelinePlan(s, path)
-      val runs = sys.env.getOrElse("GRAFT_CHILD_RUNS", "1").toInt
       val m = (1 to runs).map(_ => timed(reExecute(plan).collect())).min
       println(f"GRAFT_CHILD_SECS $m%.3f")
     } finally s.stop()
@@ -110,12 +111,13 @@ object Bench {
     "java.base/sun.security.action", "java.base/sun.util.calendar"
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  private def forkMeasure(cores: Int, path: String, warmPath: String): Double = {
+  private def forkMeasure(cores: Int, path: String, warmPath: String,
+                          runs: Int): Double = {
     val java = sys.props("java.home") + "/bin/java"
     val cmd = Seq(java) ++ addOpens ++ Seq(
       "-Xmx8g", "-Dspark.ui.enabled=false",
       "-cp", sys.props("java.class.path"),
-      "graft.Bench", "--child", cores.toString, path, warmPath)
+      "graft.Bench", "--child", cores.toString, path, warmPath, runs.toString)
     val pb = new ProcessBuilder(cmd: _*)
     // stderr must flow THROUGH, not into an undrained pipe: a child
     // emitting more than the ~64 KiB pipe capacity (Spark WARNs over a
@@ -131,8 +133,8 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.length >= 4 && args(0) == "--child") {
-      childMain(args(1).toInt, args(2), args(3)); return
+    if (args.length >= 5 && args(0) == "--child") {
+      childMain(args(1).toInt, args(2), args(3), args(4).toInt); return
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -221,13 +223,20 @@ object Bench {
     // 0.935 on a quiet host. Each child is a pristine JVM that reports
     // min-of-GRAFT_CHILD_RUNS of one re-executed plan (see childMain).
     val pairs = sys.env.getOrElse("GRAFT_PAIRS", "3").toInt
+    // equal burst exposure per leg (see childMain): the N-core leg is
+    // one ~4×-longer run, the 4N-core leg min-of-2 shorter runs —
+    // comparable measured wall-clock each, so a host burst is equally
+    // likely to land in either leg's window and the min/median
+    // machinery discards it
+    val runsLow = sys.env.getOrElse("GRAFT_CHILD_RUNS_LOW", "1").toInt
+    val runsHigh = sys.env.getOrElse("GRAFT_CHILD_RUNS_HIGH", "2").toInt
     val measured = (0 until pairs).map { i =>
       val lowFirst = i % 2 == 0
       val (sN, s4) =
-        if (lowFirst) { val a = forkMeasure(nLow, corpusPath, warmPath)
-          (a, forkMeasure(nHigh, corpusPath, warmPath)) }
-        else { val b = forkMeasure(nHigh, corpusPath, warmPath)
-          (forkMeasure(nLow, corpusPath, warmPath), b) }
+        if (lowFirst) { val a = forkMeasure(nLow, corpusPath, warmPath, runsLow)
+          (a, forkMeasure(nHigh, corpusPath, warmPath, runsHigh)) }
+        else { val b = forkMeasure(nHigh, corpusPath, warmPath, runsHigh)
+          (forkMeasure(nLow, corpusPath, warmPath, runsLow), b) }
       System.err.println(f"GRAFT_PAIR $i secs_n=$sN%.3f secs_4n=$s4%.3f eff=${sN / s4 / 4.0}%.3f")
       (sN, s4)
     }.filter { case (a, b) => a > 0 && b > 0 && !a.isNaN && !b.isNaN }
