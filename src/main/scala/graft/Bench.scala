@@ -168,9 +168,13 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"GRAFT_BENCH_FAIL $name: $e"); -1.0 }
       }
-      val warm = once() // codegen/JIT for this query's plan shape
-      val (a, b) = (once(), once())
-      name -> (if (warm < 0 || a < 0 || b < 0) -1.0 else math.min(a, b)) // steady-state
+      // TWO warm runs then min-of-3: broadcast-join queries (q2) take
+      // 3-4 executions to reach steady state in a fresh session
+      // (measured 3.9 → 1.3 → 1.4 → 0.86 → 0.85 s); one warm + min-of-2
+      // reported the warm-up tail, not capability
+      val warms = Seq(once(), once())
+      val runs = Seq(once(), once(), once())
+      name -> (if ((warms ++ runs).exists(_ < 0)) -1.0 else runs.min) // steady-state
     }
 
     // ---- scaling corpora (written once, read by every child): the big
