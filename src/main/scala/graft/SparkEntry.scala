@@ -169,6 +169,37 @@ object SparkEntry {
     */
   private val BpeNumMerges = 256
 
+  /** Sequence-packing parameters (pk1): shard count and the per-
+    * sequence token budget. One constant pair feeds both the Spark
+    * query and the DuckDB recursive-CTE oracle.
+    */
+  private val PackShards = 8
+  private val PackCapacity = 256L
+
+  /** Deterministic stratified sampling (sm1): per-source keep rates
+    * realized as a threshold over the first 4 hex chars of
+    * `md5(doc_id)` — a pure function both engines compute identically
+    * (Spark and DuckDB both emit lowercase hex, and hex strings
+    * compare the same bytewise). Rates are 10–46 % by source index;
+    * the realized rate is `threshold/65536`, exact in both engines
+    * because the threshold is a Scala-computed literal.
+    */
+  private val SampleThresholds: Seq[(String, String)] =
+    (0 until 20).map { i =>
+      val thr = ((0.10 + 0.04 * (i % 10)) * 65536).toInt
+      (s"src$i", f"$thr%04x")
+    }
+
+  /** The per-source threshold as a SQL CASE over `source` — ONE text
+    * rendered into the Spark query (via `expr`) and the DuckDB oracle,
+    * so the sampling rule cannot drift between engines. Unknown
+    * sources fall through to '0000': nothing samples in.
+    */
+  private val SampleThrCaseSql: String =
+    SampleThresholds.map { case (src, hex) =>
+      s"WHEN source = '$src' THEN '$hex'"
+    }.mkString("CASE ", " ", " ELSE '0000' END")
+
   /** Flagship: the quality-filter pipeline over a deterministic
     * synthetic transcript corpus (BASELINE.json north_rule). Driver
     * smoke-checks rows > 0.
@@ -1084,6 +1115,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "pk1_sequence_packing" -> ((s, dir) => {
+      // pack documents into fixed-token-budget training sequences:
+      // deterministic next-fit per doc_id-shard (ops.Packing — token
+      // counts computed map-side, only (id, shard, count) shuffles,
+      // one streaming pass per shard). DuckDB re-derives the full
+      // assignment by walking the same recurrence in a recursive CTE.
+      val withTokens = t(s, dir, "documents").select(
+        col("doc_id"),
+        coalesce(size(regexp_extract_all(col("text"),
+          lit(graft.lm.Bpe.PreTokenRe), lit(0))), lit(0))
+          .cast("long").as("n_tokens"))
+      graft.ops.Packing.packNextFit(withTokens, "doc_id", "n_tokens",
+          PackShards, PackCapacity)
+        .orderBy(col("doc_id"))
+    }),
+
+    "sm1_stratified_sample" -> ((s, dir) => {
+      // deterministic per-source (stratified) sampling: keep a doc iff
+      // the first 4 hex chars of md5(doc_id) fall under the source's
+      // threshold — reproducible run-to-run, join-free, map-only (no
+      // shuffle at all before the presentation sort), and identically
+      // computable by the oracle. The CASE text is shared with the
+      // DuckDB SQL via SampleThrCaseSql.
+      t(s, dir, "documents")
+        .withColumn("bucket",
+          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4))
+        .filter(col("bucket") < expr(SampleThrCaseSql))
+        .select(col("doc_id"), col("source"), col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
     "lid1_langid_docs" -> ((s, dir) => {
       // broadcast-model language-ID over the documents table. The model
       // pass itself is not SQL-expressible: it runs in prepareSeams and
@@ -1872,6 +1934,36 @@ object SparkEntry {
          SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_tokens
          FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
          LEFT JOIN c USING (doc_id) ORDER BY d.doc_id""",
+
+    // the packer's next-fit recurrence re-walked row by row: a
+    // recursive CTE advances one document per shard per step, carrying
+    // (running total, sequence counter) exactly as the mapPartitions
+    // state does
+    "pk1_sequence_packing" ->
+      s"""WITH RECURSIVE w AS (
+           SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  CAST(doc_id % $PackShards AS INTEGER) AS shard,
+                  CAST(coalesce(len(regexp_extract_all(text, '${graft.lm.Bpe.PreTokenRe}')), 0) AS BIGINT) AS n,
+                  row_number() OVER (PARTITION BY doc_id % $PackShards ORDER BY doc_id) AS rn
+           FROM documents),
+         r AS (
+           SELECT doc_id, shard, n, rn, n AS cum, CAST(0 AS BIGINT) AS seq
+           FROM w WHERE rn = 1
+           UNION ALL
+           SELECT w.doc_id, w.shard, w.n, w.rn,
+                  CASE WHEN r.cum + w.n <= $PackCapacity THEN r.cum + w.n ELSE w.n END,
+                  CASE WHEN r.cum + w.n <= $PackCapacity THEN r.seq ELSE r.seq + 1 END
+           FROM r JOIN w ON w.shard = r.shard AND w.rn = r.rn + 1)
+         SELECT doc_id, shard, seq AS seq_id, n AS n_tokens
+         FROM r ORDER BY doc_id""",
+
+    // same md5-threshold rule, same CASE text (SampleThrCaseSql)
+    "sm1_stratified_sample" ->
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket
+         FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < ($SampleThrCaseSql)
+         ORDER BY doc_id""",
 
     "f10_special_chars" ->
       """WITH d AS (SELECT doc_id, text ||

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: assign documents to fixed-token-budget training
+  * sequences ("bins") — the step between a cleaned corpus and a
+  * training loader, where documents are concatenated into
+  * context-window-sized examples and the packing decides both token
+  * efficiency (fill ratio) and shuffle cost.
+  *
+  * Algorithm: deterministic NEXT-FIT per shard. Documents are sharded
+  * by `doc_id % nShards`, ordered by `doc_id` within the shard, and
+  * greedily appended to the current sequence; a document that would
+  * overflow `capacity` starts the next sequence (a document longer
+  * than `capacity` occupies a sequence alone — the loader's
+  * truncate-or-split decision stays downstream, the packer stays
+  * total). Next-fit is the industry default for training-data packing:
+  * single pass, deterministic, and under Zipf-ish length distributions
+  * within a few percent of first-fit-decreasing fill while preserving
+  * a stable document order.
+  *
+  * Scale design (the 100 TB lens):
+  *  - token counts are computed map-side (codegen `regexp_extract_all`
+  *    + `size`) BEFORE the shuffle; only `(doc_id, shard, n_tokens)` —
+  *    20 bytes/doc, never text — rides the exchange;
+  *  - one hash exchange on `shard` + an intra-partition sort, then a
+  *    single streaming `mapPartitions` pass holding O(1) state per
+  *    shard (running total + sequence counter) — no window function,
+  *    no driver involvement, no second pass;
+  *  - `nShards` is the parallelism knob: production sets it to a small
+  *    multiple of total cores, so each task streams one shard's
+  *    id/count pairs. Packing is embarrassingly parallel ACROSS shards
+  *    by construction (sequences never cross a shard), which is
+  *    exactly how multi-worker training loaders consume the corpus.
+  *
+  * Determinism: shard assignment, intra-shard order, and the next-fit
+  * recurrence are pure functions of `doc_id` and the token counts, so
+  * the full assignment is reproducible run-to-run and re-derivable by
+  * the DuckDB oracle (a recursive CTE walks the same recurrence).
+  */
+object Packing {
+
+  /** Per-document sequence assignment: `(doc_id, shard, seq_id,
+    * n_tokens)`, where `seq_id` numbers sequences within the shard in
+    * document order. `tokensCol` must be a non-negative bigint column
+    * (nulls are treated as 0 — an empty document packs for free).
+    */
+  def packNextFit(docs: DataFrame, idCol: String, tokensCol: String,
+                  nShards: Int, capacity: Long): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cap = capacity // local val: the closure serializes it by value
+    docs
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        pmod(col(idCol).cast("long"), lit(nShards.toLong)).cast("int").as("shard"),
+        coalesce(col(tokensCol).cast("long"), lit(0L)).as("n_tokens"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .as[(Long, Int, Long)]
+      .mapPartitions { it =>
+        // a hash partition may hold several whole shards (contiguous
+        // after the sort); sequences never span shards, so the state
+        // resets on every shard change
+        var curShard = Int.MinValue
+        var cum = 0L
+        var seq = 0L
+        it.map { case (id, shard, n) =>
+          if (shard != curShard) { curShard = shard; seq = 0L; cum = n }
+          else if (cum + n <= cap) { cum += n }
+          else { seq += 1L; cum = n }
+          (id, shard, seq, n)
+        }
+      }
+      .toDF("doc_id", "shard", "seq_id", "n_tokens")
+  }
+}

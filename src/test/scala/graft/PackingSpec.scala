@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Packing
+
+/** Sequence packing: next-fit recurrence correctness (hand-computed
+  * and against a local reference walk), shard isolation, and the
+  * overflow/null edge cases the DuckDB recursive-CTE oracle shares.
+  */
+class PackingSpec extends AnyFunSuite {
+
+  /** Local reference: the same next-fit recurrence as the oracle CTE. */
+  private def refPack(docs: Seq[(Long, Long)], nShards: Int,
+                      cap: Long): Map[Long, (Int, Long)] = {
+    docs.groupBy { case (id, _) => (id % nShards).toInt }.flatMap {
+      case (shard, ds) =>
+        var cum = 0L; var seq = -1L
+        ds.sortBy(_._1).map { case (id, n) =>
+          if (seq < 0 || cum + n > cap) { seq += 1; cum = n }
+          else cum += n
+          id -> (shard, seq)
+        }
+    }
+  }
+
+  private def run(docs: Seq[(Long, Long)], nShards: Int, cap: Long) = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    Packing.packNextFit(
+        docs.toDF("doc_id", "n_tokens").repartition(7), // scrambled input
+        "doc_id", "n_tokens", nShards, cap)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3))))
+      .toMap
+  }
+
+  test("hand-computed next-fit: overflow starts a new sequence") {
+    // one shard, capacity 10: [4,4] fill seq 0; 3 overflows -> seq 1;
+    // [3,7] fills seq 1; 12 > cap gets its own seq 2; next doc seq 3
+    val docs = Seq(0L -> 4L, 1L -> 4L, 2L -> 3L, 3L -> 7L, 4L -> 12L, 5L -> 1L)
+    val out = run(docs, nShards = 1, cap = 10L)
+    assert(out(0L) == ((0, 0L, 4L)) && out(1L) == ((0, 0L, 4L)))
+    assert(out(2L) == ((0, 1L, 3L)) && out(3L) == ((0, 1L, 7L)))
+    assert(out(4L) == ((0, 2L, 12L)), "over-capacity doc packs alone")
+    assert(out(5L) == ((0, 3L, 1L)), "doc after an over-capacity doc starts fresh")
+  }
+
+  test("sequences never cross shards; assignment matches the reference walk") {
+    val rnd = new scala.util.Random(42)
+    val docs = (0L until 500L).map(id => id -> (1L + rnd.nextInt(90).toLong))
+    val out = run(docs, nShards = 8, cap = 128L)
+    val ref = refPack(docs, nShards = 8, cap = 128L)
+    assert(out.size == docs.size)
+    docs.foreach { case (id, n) =>
+      val (shard, seq, tok) = out(id)
+      assert(shard == (id % 8).toInt, s"doc $id shard")
+      assert(tok == n, s"doc $id token count")
+      assert((shard, seq) == ref(id), s"doc $id assignment")
+    }
+    // every sequence respects the capacity unless it is a single
+    // over-capacity doc (none here: max doc is 90 <= 128)
+    out.groupBy { case (_, (shard, seq, _)) => (shard, seq) }.foreach {
+      case (key, members) =>
+        assert(members.values.map(_._3).sum <= 128L, s"sequence $key overflows")
+    }
+  }
+
+  test("null token counts pack as zero-width") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq((0L, Some(5L)), (1L, None), (2L, Some(5L)))
+      .toDF("doc_id", "n_tokens")
+    val out = Packing.packNextFit(df, "doc_id", "n_tokens", 1, 10L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 0L),
+      "5 + 0 + 5 fits one sequence of capacity 10")
+  }
+}
