@@ -88,16 +88,19 @@ object Bench {
       val warmPlan = pipelinePlan(s, warmPath)
       timed(reExecute(warmPlan).collect()) // warm-up: codegen + JIT
       System.err.println("GRAFT_CHILD_WARM_DONE")
-      // min of `runs` runs: the host shows burst noise; minimum =
-      // capability, which is what scaling compares. The parent sizes
-      // `runs` per leg for EQUAL BURST EXPOSURE — the 4N-core leg is
-      // ~4× shorter per run, so it takes min-of-more runs spanning
-      // comparable total wall-clock to the one long N-core run; a
-      // burst then has a similar chance of contaminating either leg's
-      // estimate, and the min discards the contaminated run.
+      // min of `runs` runs: host noise is one-sided (a burst only ADDS
+      // time), so the minimum estimates the noise-free cost — which is
+      // what scaling compares. The parent sizes `runs` per leg to
+      // equalize burst SENSITIVITY, not wall-clock: a burst of fixed
+      // duration moves a short 4N-core run ~4× more (relative) than
+      // the long N-core run, so the short leg takes min-of-more runs
+      // while the long leg's burst impact amortizes over its ~4×
+      // window. All run times are reported so the parent can also
+      // publish the conservative worst-draw bound alongside the min.
       val plan = pipelinePlan(s, path)
-      val m = (1 to runs).map(_ => timed(reExecute(plan).collect())).min
-      println(f"GRAFT_CHILD_SECS $m%.3f")
+      val ms = (1 to runs).map(_ => timed(reExecute(plan).collect()))
+      println(f"GRAFT_CHILD_SECS ${ms.min}%.3f")
+      println("GRAFT_CHILD_ALL " + ms.map(m => f"$m%.3f").mkString(","))
     } finally s.stop()
   }
 
@@ -111,8 +114,10 @@ object Bench {
     "java.base/sun.security.action", "java.base/sun.util.calendar"
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
+  /** Fork one pristine-JVM child at `cores` and return
+    * (min run seconds, all run seconds) over its `runs` executions. */
   private def forkMeasure(cores: Int, path: String, warmPath: String,
-                          runs: Int): Double = {
+                          runs: Int): (Double, Seq[Double]) = {
     val java = sys.props("java.home") + "/bin/java"
     val cmd = Seq(java) ++ addOpens ++ Seq(
       "-Xmx8g", "-Dspark.ui.enabled=false",
@@ -127,9 +132,15 @@ object Bench {
     val proc = pb.start()
     val out = new String(proc.getInputStream.readAllBytes())
     proc.waitFor()
-    out.linesIterator.collectFirst {
+    val lines = out.linesIterator.toSeq
+    val best = lines.collectFirst {
       case l if l.startsWith("GRAFT_CHILD_SECS") => l.split(" ")(1).toDouble
     }.getOrElse(Double.NaN)
+    val all = lines.collectFirst {
+      case l if l.startsWith("GRAFT_CHILD_ALL") =>
+        l.split(" ")(1).split(",").map(_.toDouble).toSeq
+    }.getOrElse(if (best.isNaN) Seq.empty else Seq(best))
+    (best, all)
   }
 
   def main(args: Array[String]): Unit = {
@@ -225,31 +236,39 @@ object Bench {
     // independent forks per level, which let one slow high-core fork
     // drag the official number to 0.697 while the same harness measured
     // 0.935 on a quiet host. Each child is a pristine JVM that reports
-    // min-of-GRAFT_CHILD_RUNS of one re-executed plan (see childMain).
+    // min + all run times of one re-executed plan (see childMain; run
+    // counts per leg come from GRAFT_CHILD_RUNS_LOW / _HIGH below).
     val pairs = sys.env.getOrElse("GRAFT_PAIRS", "3").toInt
-    // equal burst exposure per leg (see childMain): the N-core leg is
-    // one ~4×-longer run, the 4N-core leg min-of-2 shorter runs —
-    // comparable measured wall-clock each, so a host burst is equally
-    // likely to land in either leg's window and the min/median
-    // machinery discards it
+    // Per-leg run counts equalize burst SENSITIVITY, not wall-clock:
+    // one ~4×-longer N-core run amortizes a fixed-duration burst to
+    // ~1/4 the relative impact it has on a short 4N-core run, so the
+    // short leg takes min-of-2 instead. Host noise is one-sided (a
+    // burst only ADDS time), so min estimates the noise-free cost; the
+    // residual min-of-2 bias under quiet-host jitter (~2% run-to-run
+    // band) inflates efficiency by ~1% — an order of magnitude under
+    // the 0.2 pass margin. To bound the estimate from the other side,
+    // the JSON also reports scaling_efficiency_worst_leg, computed
+    // from each 4N leg's WORST draw: under one-sided noise the true
+    // quiet-host efficiency lies between the two medians.
     val runsLow = sys.env.getOrElse("GRAFT_CHILD_RUNS_LOW", "1").toInt
     val runsHigh = sys.env.getOrElse("GRAFT_CHILD_RUNS_HIGH", "2").toInt
     val measured = (0 until pairs).map { i =>
       val lowFirst = i % 2 == 0
-      val (sN, s4) =
+      val ((sN, _), (s4, all4)) =
         if (lowFirst) { val a = forkMeasure(nLow, corpusPath, warmPath, runsLow)
           (a, forkMeasure(nHigh, corpusPath, warmPath, runsHigh)) }
         else { val b = forkMeasure(nHigh, corpusPath, warmPath, runsHigh)
           (forkMeasure(nLow, corpusPath, warmPath, runsLow), b) }
       System.err.println(f"GRAFT_PAIR $i secs_n=$sN%.3f secs_4n=$s4%.3f eff=${sN / s4 / 4.0}%.3f")
-      (sN, s4)
-    }.filter { case (a, b) => a > 0 && b > 0 && !a.isNaN && !b.isNaN }
+      (sN, s4, if (all4.nonEmpty) all4.max else s4)
+    }.filter { case (a, b, w) => a > 0 && b > 0 && w > 0 && !a.isNaN && !b.isNaN && !w.isNaN }
     require(measured.nonEmpty, "every scaling fork failed")
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val eff = median(measured.map { case (a, b) => a / b / 4.0 })
+    val eff = median(measured.map { case (a, b, _) => a / b / 4.0 })
+    val effWorst = median(measured.map { case (a, _, w) => a / w / 4.0 })
     val low = median(measured.map(_._1))
     val high = median(measured.map(_._2))
     val tpsLow = nTurns / low
@@ -258,11 +277,11 @@ object Bench {
     // -1 sentinels mark failures; they must not subtract from the total
     val total = queries.map(_._2).filter(_ >= 0).sum + low + high
     val qs = queries.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val pairsJson = measured.map { case (a, b) =>
-      f"""{"secs_n":$a%.3f,"secs_4n":$b%.3f,"eff":${a / b / 4.0}%.3f}""" }
+    val pairsJson = measured.map { case (a, b, w) =>
+      f"""{"secs_n":$a%.3f,"secs_4n":$b%.3f,"secs_4n_worst":$w%.3f,"eff":${a / b / 4.0}%.3f}""" }
       .mkString("[", ",", "]")
     val scaling =
-      f"""{"turns":$nTurns,"n_cores":$nLow,"cores_4n":$nHigh,"secs_n":$low%.3f,"secs_4n":$high%.3f,"turns_per_sec_n":$tpsLow%.1f,"turns_per_sec_4n":$tpsHigh%.1f,"scaling_efficiency":$eff%.3f,"estimator":"median of per-pair efficiencies","pairs":$pairsJson}"""
+      f"""{"turns":$nTurns,"n_cores":$nLow,"cores_4n":$nHigh,"secs_n":$low%.3f,"secs_4n":$high%.3f,"turns_per_sec_n":$tpsLow%.1f,"turns_per_sec_4n":$tpsHigh%.1f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_worst_leg":$effWorst%.3f,"estimator":"median of per-pair efficiencies; worst_leg uses each 4N leg's slowest draw (one-sided-noise lower bound)","pairs":$pairsJson}"""
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_turns_per_sec":${f"$tpsHigh%.1f"},"scaling":$scaling}""")
   }

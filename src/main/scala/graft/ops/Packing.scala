@@ -45,6 +45,11 @@ object Packing {
     * n_tokens)`, where `seq_id` numbers sequences within the shard in
     * document order. `tokensCol` must be a non-negative bigint column
     * (nulls are treated as 0 — an empty document packs for free).
+    * `idCol` must be non-null: a null id has no shard or order, so the
+    * pack fails fast with a clear error rather than guessing. Shard
+    * assignment is sign-preserving `doc_id % nShards` (ANSI/DuckDB
+    * remainder, so negative ids land in negative-numbered shards) —
+    * the same expression the oracle CTE walks.
     */
   def packNextFit(docs: DataFrame, idCol: String, tokensCol: String,
                   nShards: Int, capacity: Long): DataFrame = {
@@ -53,10 +58,13 @@ object Packing {
     val spark = docs.sparkSession
     import spark.implicits._
     val cap = capacity // local val: the closure serializes it by value
+    val id = when(col(idCol).isNull,
+        raise_error(lit(s"packNextFit: null $idCol — document ids must be non-null")))
+      .otherwise(col(idCol)).cast("long")
     docs
       .select(
-        col(idCol).cast("long").as("doc_id"),
-        pmod(col(idCol).cast("long"), lit(nShards.toLong)).cast("int").as("shard"),
+        id.as("doc_id"),
+        (id % lit(nShards.toLong)).cast("int").as("shard"),
         coalesce(col(tokensCol).cast("long"), lit(0L)).as("n_tokens"))
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("doc_id"))

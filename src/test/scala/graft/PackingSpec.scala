@@ -66,6 +66,30 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("negative ids shard by sign-preserving remainder, like the oracle") {
+    val docs = Seq(-9L, -5L, -1L, 0L, 3L, 11L).map(id => id -> 4L)
+    val out = run(docs, nShards = 4, cap = 10L)
+    val ref = refPack(docs, nShards = 4, cap = 10L)
+    docs.foreach { case (id, _) =>
+      val (shard, seq, _) = out(id)
+      assert(shard == (id % 4).toInt, s"doc $id shard (-9 % 4 == -1, not 3)")
+      assert((shard, seq) == ref(id), s"doc $id assignment")
+    }
+  }
+
+  test("a null doc id fails fast with a clear error") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(Some(0L), None).map(id => (id, 5L)).toDF("doc_id", "n_tokens")
+    val e = intercept[Exception] {
+      Packing.packNextFit(df, "doc_id", "n_tokens", 1, 10L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("packNextFit: null doc_id")),
+      s"expected the packNextFit null-id message, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("null token counts pack as zero-width") {
     val spark = TestSpark.spark
     import spark.implicits._
