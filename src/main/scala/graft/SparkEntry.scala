@@ -897,6 +897,19 @@ object SparkEntry {
         .orderBy(col("id_a"))
     }),
 
+    "dc1_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: docs with doc_id % 10 == 7 stand in
+      // for a held-out eval suite; every other doc reports how many of
+      // its distinct word 4-grams leak into that set (broadcast
+      // gram-set, map-only corpus pass — see ops/Decontaminate)
+      val docs = t(s, dir, "documents")
+      graft.ops.Decontaminate.decontaminate(
+          docs.where(col("doc_id") % 10 =!= 7),
+          docs.where(col("doc_id") % 10 === 7),
+          "text", "doc_id", n = 4, minMatches = 1)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---------------------------------------------------- ANN suite (ANN*)
     "ann1_brute_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1406,6 +1419,24 @@ object SparkEntry {
         readSeam(s, "qf5_scored").as[graft.schema.ScoredTurn])
       val dropped = QualityFilter.convNearDupDropIds(clonedTranscripts(s))
       QualityFilter.withConvNearDup(labeled, dropped)
+        .select(col("conv_id"), col("turn_idx"), col("keep"),
+          concat_ws("|", col("drop_reasons")).as("reasons"))
+        .orderBy(col("conv_id"), col("turn_idx"))
+    }),
+
+    "qf6_boilerplate_rule" -> ((s, _) => {
+      // the OPT-IN cross-conversation boilerplate rule (C4's
+      // repeated-line filter at turn granularity) composed with the
+      // flagship labels, on the clone-heavy qf5 corpus (clones repeat
+      // whole turns across conversations). The seam carries norm_hash,
+      // so the DuckDB oracle re-derives the census EXACTLY — distinct
+      // conversations per hash, thresholds from RuleConfig — plus the
+      // full rules layer via RulesSql; nothing here is a stub.
+      import s.implicits._
+      val back = readSeam(s, "qf5_scored").as[graft.schema.ScoredTurn]
+      QualityFilter.withBoilerplate(
+          QualityFilter.labelScored(back),
+          QualityFilter.boilerplateDropKeys(back))
         .select(col("conv_id"), col("turn_idx"), col("keep"),
           concat_ws("|", col("drop_reasons")).as("reasons"))
         .orderBy(col("conv_id"), col("turn_idx"))
@@ -2217,6 +2248,27 @@ object SparkEntry {
          FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
          ORDER BY id_a""",
 
+    // decontamination re-derived gram-by-gram: DuckDB rebuilds both
+    // sides' distinct word 4-grams as strings and intersects them —
+    // the Spark side's 64-bit fingerprints must land the same counts
+    "dc1_decontaminate" ->
+      raw"""WITH w AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+               x -> x <> '') AS toks
+           FROM documents),
+         g AS (SELECT doc_id, CASE WHEN len(toks) < 4 THEN CAST([] AS VARCHAR[])
+             ELSE list_distinct(list_transform(generate_series(1, len(toks) - 3),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+             END AS grams
+           FROM w),
+         bench AS (SELECT list(DISTINCT gr) AS bg
+           FROM (SELECT unnest(grams) AS gr FROM g WHERE doc_id % 10 = 7)),
+         corpus AS (SELECT doc_id,
+             CAST(len(list_intersect(grams, bg)) AS BIGINT) AS n_matched
+           FROM g, bench WHERE doc_id % 10 <> 7)
+         SELECT doc_id, n_matched, n_matched >= 1 AS contaminated
+         FROM corpus ORDER BY doc_id""",
+
     // the ann recall/exactness gates emit booleans the oracle predicts:
     // the LSH/IVF side is not SQL-expressible, but a recall regression
     // flips the bit and fails the hash compare
@@ -2334,6 +2386,11 @@ object SparkEntry {
            nd AS (SELECT DISTINCT id_b AS conv_id FROM cp
                   WHERE j >= ${QualityFilter.ConvNearDupConfig().threshold})""",
         "nd"),
+
+    // relabel the qf5 seam + the boilerplate census re-derived from the
+    // seam's own norm_hash column (thresholds rendered from RuleConfig)
+    "qf6_boilerplate_rule" ->
+      graft.oracle.RulesSql.relabelWithBoilerplateSql(oracleSeamGlob("qf5_scored")),
 
     "cd1_conversation_neardup" -> convNearDupBruteSql,
 

@@ -142,6 +142,32 @@ object RulesSql {
               ELSE reasons || '|' || ${q(RuleConvNearDup)} END AS reasons
        FROM f ORDER BY conv_id, turn_idx"""
 
+  /** Relabel + the opt-in cross-conversation boilerplate rule (qf6):
+    * the census is re-derived from the seam's own norm_hash column
+    * (eligibility, distinct-conversation count, and thresholds all
+    * rendered from RuleConfig — one source of truth with
+    * QualityFilter.boilerplateDropKeys), and flagged turns get
+    * RuleBoilerplate appended exactly like withBoilerplate.
+    */
+  def relabelWithBoilerplateSql(scoredGlob: String): String =
+    s"""${labelCtes(scoredGlob)},
+       bel AS (SELECT conv_id, turn_idx, norm_hash FROM st
+               WHERE NOT is_empty AND norm_len >= $BoilerplateMinLen
+                 AND role IS DISTINCT FROM 'tool'),
+       bcen AS (SELECT norm_hash
+                FROM (SELECT DISTINCT norm_hash, conv_id FROM bel)
+                GROUP BY norm_hash HAVING count(*) >= $BoilerplateMinConvs),
+       bdrop AS (SELECT bel.conv_id, bel.turn_idx FROM bel
+                 JOIN bcen USING (norm_hash)),
+       f AS (SELECT r.*, (d.conv_id IS NOT NULL) AS bp
+             FROM r LEFT JOIN bdrop d
+               ON d.conv_id = r.conv_id AND d.turn_idx = r.turn_idx)
+       SELECT conv_id, turn_idx, (reasons = '' AND NOT bp) AS keep,
+         CASE WHEN NOT bp THEN reasons
+              WHEN reasons = '' THEN ${q(RuleBoilerplate)}
+              ELSE reasons || '|' || ${q(RuleBoilerplate)} END AS reasons
+       FROM f ORDER BY conv_id, turn_idx"""
+
   /** Corpus-wide scrubbed-span totals per scrub rule (qf4) — the third
     * counter dimension of the north rule (kept/dropped/SCRUBBED per
     * rule), re-derived from first principles: the chain is rendered

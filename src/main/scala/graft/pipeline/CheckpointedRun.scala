@@ -40,7 +40,8 @@ object CheckpointedRun {
           skewMaxTurns: Int = 0,
           afterDataCommit: Int => Unit = _ => (),
           maxCollectedGiants: Int = SkewSplit.MaxCollectedGiants,
-          convNearDup: Option[QualityFilter.ConvNearDupConfig] = None): RunResult = {
+          convNearDup: Option[QualityFilter.ConvNearDupConfig] = None,
+          boilerplate: Option[QualityFilter.BoilerplateConfig] = None): RunResult = {
     val table = SnapshotTable(outRoot, nBuckets)
     val bucket = Metrics.bucketCol(nBuckets)
 
@@ -55,11 +56,17 @@ object CheckpointedRun {
     locally {
       import java.nio.charset.StandardCharsets.UTF_8
       val cfgFile = java.nio.file.Paths.get(outRoot, "_graft", "labeling.cfg")
-      val cfgStr = convNearDup match {
+      // the boilerplate line is appended ONLY when the rule is on, so
+      // tables produced before the rule existed still resume cleanly
+      // with it off — and any on/off mismatch still fails the guard
+      val cfgStr = (convNearDup match {
         case Some(c) =>
           s"conv_neardup=${c.numHashes},${c.bands},${c.shingleK},${c.threshold},${c.maxBucket}"
         case None => "conv_neardup=off"
-      }
+      }) + (boilerplate match {
+        case Some(b) => s"\nboilerplate=${b.minConvs},${b.minLen}"
+        case None => ""
+      })
       if (java.nio.file.Files.exists(cfgFile)) {
         val prior = new String(java.nio.file.Files.readAllBytes(cfgFile), UTF_8).trim
         require(prior == cfgStr || table.completedBuckets.isEmpty,
@@ -136,6 +143,20 @@ object CheckpointedRun {
       d
     }
 
+    // opt-in boilerplate: the census (which normalized texts recur
+    // across >= minConvs conversations) also crosses conv-hash buckets,
+    // so the dropped-turn key set is computed ONCE over the FULL corpus
+    // — via the model-free raw path (normalize + hash only; the
+    // per-bucket labeling already pays the model pass) — persisted, and
+    // joined into each bucket. Deterministic, so a resumed run
+    // recomputes the identical set.
+    val bpDropped = boilerplate.filter(_ => todo.nonEmpty).map { cfg =>
+      val d = QualityFilter.boilerplateDropKeysRaw(input, cfg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d.count() // materialize the cache in one pass
+      d
+    }
+
     todo.foreach { b =>
       val bucketInput = input.where(bucket === b)
       val base =
@@ -147,9 +168,15 @@ object CheckpointedRun {
           SkewSplit.labelViaJoins(bucketInput, skewMaxTurns)
         else SkewSplit.labelWithGiants(bucketInput, skewMaxTurns,
           giantsByBucket.getOrElse(b, Array.empty))
-      val labeled = dropped match {
-        case Some(d) => QualityFilter.withConvNearDup(base, d)
+      // boilerplate (turn-level) before conv-near-dup (conversation-
+      // level): lineage lists finer-grained reasons first
+      val withBp = bpDropped match {
+        case Some(d) => QualityFilter.withBoilerplate(base, d)
         case None => base
+      }
+      val labeled = dropped match {
+        case Some(d) => QualityFilter.withConvNearDup(withBp, d)
+        case None => withBp
       }
       table.commitBucket(labeled, b)
       afterDataCommit(b)
@@ -164,6 +191,7 @@ object CheckpointedRun {
       }
     }
     dropped.foreach(_.unpersist(blocking = false))
+    bpDropped.foreach(_.unpersist(blocking = false))
     RunResult(table.currentVersion, todo, done.toSeq.sorted)
   }
 

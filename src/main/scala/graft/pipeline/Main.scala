@@ -11,7 +11,8 @@ import graft.schema.Turn
   *     --output <snapshot table root> \
   *     [--metrics <metrics table root>] \
   *     [--buckets 256] [--skew-max-turns 0] \
-  *     [--conv-neardup-threshold 0.7]
+  *     [--conv-neardup-threshold 0.7] \
+  *     [--boilerplate-min-convs 2]
   *
   * Runs checkpoint-resumable: re-submitting after a failure skips
   * committed buckets. Lineage + counters land under --metrics
@@ -40,9 +41,11 @@ object Main {
     val turns = spark.read.schema(Turn.schema).parquet(input).as[Turn]
     val convNearDup = opts.get("conv-neardup-threshold").map(t =>
       QualityFilter.ConvNearDupConfig(threshold = t.toDouble))
+    val boilerplate = opts.get("boilerplate-min-convs").map(n =>
+      QualityFilter.BoilerplateConfig(minConvs = n.toInt))
     val res = CheckpointedRun.run(turns, output, buckets,
       metricsRoot = opts.get("metrics"), skewMaxTurns = skewMax,
-      convNearDup = convNearDup)
+      convNearDup = convNearDup, boilerplate = boilerplate)
     // scalastyle:off println — job summary on stdout is the contract
     println(s"graft: snapshot v${res.snapshotVersion}; " +
       s"computed buckets ${res.bucketsComputed.mkString(",")}; " +

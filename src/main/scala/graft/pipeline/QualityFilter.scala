@@ -193,4 +193,84 @@ object QualityFilter {
       .withColumn("keep", col("keep") && !coalesce(col("__cnd"), lit(false)))
       .drop("__cnd")
   }
+
+  /** Parameters of the OPT-IN cross-conversation boilerplate rule
+    * (`drop:boilerplate` — see [[graft.rules.RuleConfig.RuleBoilerplate]]).
+    */
+  final case class BoilerplateConfig(minConvs: Int = BoilerplateMinConvs,
+                                     minLen: Int = BoilerplateMinLen)
+
+  /** Census tail shared by both drop-key entry points: `keyed` must
+    * carry (conv_id, turn_idx, role, norm_hash, norm_len, is_empty).
+    * Two keys-only shuffles — distinct (norm_hash, conv_id) 16-byte
+    * pairs, then the per-hash conversation count — and a semi-join of
+    * eligible turns against the flagged-hash set (small by
+    * construction: only hashes repeated across conversations survive,
+    * so AQE broadcasts it).
+    */
+  private def boilerplateKeysFromMetrics(keyed: DataFrame,
+                                         cfg: BoilerplateConfig): DataFrame = {
+    val el = keyed
+      .where(!col("is_empty") && col("norm_len") >= cfg.minLen &&
+        !(col("role") <=> lit("tool")))
+      .select(col("conv_id"), col("turn_idx"), col("norm_hash"))
+    val census = el.select(col("norm_hash"), col("conv_id")).distinct()
+      .groupBy(col("norm_hash")).agg(count(lit(1)).as("n_convs"))
+      .where(col("n_convs") >= cfg.minConvs)
+      .select(col("norm_hash"))
+    el.join(census, Seq("norm_hash"), "left_semi")
+      .select(col("conv_id"), col("turn_idx"))
+  }
+
+  /** Turn keys to DROP under the boilerplate rule, from the scored
+    * stage (norm_hash/norm_len/is_empty are already columns — no text
+    * is reprocessed or shuffled).
+    */
+  def boilerplateDropKeys(scored: Dataset[ScoredTurn],
+                          cfg: BoilerplateConfig = BoilerplateConfig()): DataFrame =
+    boilerplateKeysFromMetrics(scored.toDF(), cfg)
+
+  /** The same drop keys from RAW turns, skipping model inference: the
+    * census needs only the normalization metrics, and normalize + hash
+    * here are the exact code path `score` uses (Scrub.normalizeWsPlain;
+    * TextAlgos.hash64 == the turnMetrics FNV/mix), so the keys equal
+    * `boilerplateDropKeys(score(ds))` (pinned by RulesSpec). This is
+    * the bucketed runner's entry point — a full scoring pass over the
+    * corpus just to census hashes would double its model cost.
+    */
+  def boilerplateDropKeysRaw(turns: Dataset[Turn],
+                             cfg: BoilerplateConfig = BoilerplateConfig()): DataFrame = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val keyed = turns.mapPartitions { it =>
+      it.map { t =>
+        val norm = Scrub.normalizeWsPlain(t.text)
+        val isEmpty = t.text == null || Sentinels.contains(norm)
+        (t.conv_id, t.turn_idx, t.role, TextAlgos.hash64(norm),
+          if (norm == null) 0 else norm.length, isEmpty)
+      }
+    }.toDF("conv_id", "turn_idx", "role", "norm_hash", "norm_len", "is_empty")
+    boilerplateKeysFromMetrics(keyed, cfg)
+  }
+
+  /** Apply the opt-in boilerplate rule to a labeled frame: flagged
+    * (conv_id, turn_idx) turns get keep=false and RuleBoilerplate
+    * appended to the lineage array (after the per-turn RuleOrder;
+    * when composed with the conv-near-dup rule, apply boilerplate
+    * FIRST so turn-level reasons precede conversation-level ones).
+    * The join clusters on (conv_id, turn_idx), which the labeled
+    * side's existing hash(conv_id) partitioning already satisfies —
+    * only the small flagged side moves.
+    */
+  def withBoilerplate(labeled: DataFrame, droppedTurns: DataFrame): DataFrame = {
+    val flagged = droppedTurns
+      .select(col("conv_id"), col("turn_idx"), lit(true).as("__bp"))
+    labeled.join(flagged, Seq("conv_id", "turn_idx"), "left")
+      .withColumn("drop_reasons",
+        when(col("__bp"),
+          concat(col("drop_reasons"), array(lit(RuleBoilerplate))))
+          .otherwise(col("drop_reasons")))
+      .withColumn("keep", col("keep") && !coalesce(col("__bp"), lit(false)))
+      .drop("__bp")
+  }
 }

@@ -121,6 +121,21 @@ object RuleConfig {
     */
   val RuleConvNearDup = "conv_neardup"
 
+  /** OPT-IN cross-conversation boilerplate rule (also outside
+    * [[RuleOrder]], applied afterwards like [[RuleConvNearDup]] — the
+    * C4 "repeated line" filter at turn granularity): a turn is
+    * boilerplate when its NORMALIZED text occurs in at least
+    * [[BoilerplateMinConvs]] distinct conversations (canned greetings,
+    * templated tool banners). [[BoilerplateMinLen]] exempts short turns
+    * — brief acknowledgements legitimately repeat everywhere — and
+    * tool-role turns are exempt (structured payloads repeat by
+    * design). The census keys on the precomputed 64-bit `norm_hash`
+    * (the duplicate-turn window's key), so it shuffles no text.
+    */
+  val RuleBoilerplate = "boilerplate"
+  val BoilerplateMinConvs = 2
+  val BoilerplateMinLen = 16
+
   // ------------------------------------------------------------- scrubbing
 
   /** Whitespace normalization applied before everything else (C3,

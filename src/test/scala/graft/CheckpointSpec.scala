@@ -169,6 +169,70 @@ class CheckpointSpec extends AnyFunSuite {
     assert(lineage.where(col("rule") === "conv_neardup").count() > 0)
   }
 
+  test("opt-in boilerplate rule: bucketed == direct, composes with conv near-dup") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // plant a canned opening line into every conversation whose id ends
+    // in 3 — identical normalized text across many conversations, so the
+    // corpus-wide census must flag every planted copy (and the copies
+    // hash into different conv buckets, the cross-bucket case the global
+    // census stage exists for)
+    val canned = "this conversation may be recorded for quality assurance purposes"
+    val base = TranscriptGen.generateLocal(40, seed = 22, skewCap = 200)
+    val turns = base.map(t =>
+      if (t.conv_id.endsWith("3") && t.turn_idx == 0) t.copy(text = canned) else t)
+    val ds = spark.createDataset(turns)
+    val cfg = QualityFilter.BoilerplateConfig()
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[LabeledTurn].collect().sortBy(t => (t.conv_id, t.turn_idx))
+        .map(t => t.copy(drop_reasons = t.drop_reasons.toList)).toSeq
+
+    val direct = QualityFilter.withBoilerplate(
+      QualityFilter.label(ds), QualityFilter.boilerplateDropKeysRaw(ds, cfg))
+    val directRows = canon(direct)
+    val flagged = directRows.filter(_.drop_reasons.contains("boilerplate"))
+      .map(t => (t.conv_id, t.turn_idx)).toSet
+    val planted = turns.filter(_.text == canned)
+      .map(t => (t.conv_id, t.turn_idx)).toSet
+    assert(planted.size >= 4 && planted.subsetOf(flagged), s"flagged: $flagged")
+
+    val root1 = Files.createTempDirectory("graft_bp1").toString
+    val res1 = CheckpointedRun.run(ds, root1, 4, boilerplate = Some(cfg))
+    assert(res1.bucketsComputed == (0 until 4))
+    assert(canon(CheckpointedRun.readOutput(spark, root1, 4)) == directRows)
+
+    // semantics guard: resuming without the rule (or with different
+    // parameters) fails fast instead of mixing label semantics
+    intercept[IllegalArgumentException] { CheckpointedRun.run(ds, root1, 4) }
+    intercept[IllegalArgumentException] {
+      CheckpointedRun.run(ds, root1, 4,
+        boilerplate = Some(cfg.copy(minConvs = 3)))
+    }
+
+    // composed with conv near-dup: clone conversations ending in 0, run
+    // both rules bucketed, and require (a) equality with the directly
+    // composed labels and (b) boilerplate listed BEFORE conv_neardup on
+    // turns that carry both
+    val clones = turns.filter(_.conv_id.endsWith("3"))
+      .map(t => t.copy(conv_id = "d" + t.conv_id))
+    val ds2 = spark.createDataset(turns ++ clones)
+    val nd = QualityFilter.ConvNearDupConfig()
+    val direct2 = canon(QualityFilter.withConvNearDup(
+      QualityFilter.withBoilerplate(
+        QualityFilter.label(ds2), QualityFilter.boilerplateDropKeysRaw(ds2, cfg)),
+      QualityFilter.convNearDupDropIds(ds2.toDF(), nd)))
+    val root2 = Files.createTempDirectory("graft_bp2").toString
+    CheckpointedRun.run(ds2, root2, 4, convNearDup = Some(nd),
+      boilerplate = Some(cfg))
+    assert(canon(CheckpointedRun.readOutput(spark, root2, 4)) == direct2)
+    val both = direct2.filter(t => t.drop_reasons.contains("boilerplate") &&
+      t.drop_reasons.contains("conv_neardup"))
+    assert(both.nonEmpty, "clone of a planted conv must carry both rules")
+    both.foreach(t => assert(t.drop_reasons.indexOf("boilerplate") <
+      t.drop_reasons.indexOf("conv_neardup"), s"$t"))
+  }
+
   test("file-level stats prune a ts-range read to only the overlapping files") {
     val spark = TestSpark.spark
     import spark.implicits._

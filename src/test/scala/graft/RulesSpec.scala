@@ -239,4 +239,47 @@ class RulesSpec extends AnyFunSuite {
     }
     scored.unpersist()
   }
+
+  test("boilerplate drop keys: raw path == scored path, exemptions hold") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // canned assistant line (norm_len >= BoilerplateMinLen) repeats
+    // across both conversations; "ok thanks" is too short; the tool
+    // payload repeats but tool turns are exempt; c-u's turn is unique
+    val canned = "thank you for contacting support how can i help"
+    val toolPayload = """{"status": "ok", "rows": 42, "elapsed_ms": 7}"""
+    def conv(id: String) = Seq(
+      Turn(id, 0, "user", okText, null, ts(0)),
+      Turn(id, 1, "assistant", canned, null, ts(1)),
+      Turn(id, 2, "user", "ok thanks", null, ts(2)),
+      Turn(id, 3, "tool", toolPayload, "search", ts(3)))
+    val unique = Seq(
+      Turn("c-u", 0, "user", okText + " in much more detail please", null, ts(0)))
+    val ds = spark.createDataset(conv("c-a") ++ conv("c-b") ++ unique)
+    val cfg = QualityFilter.BoilerplateConfig()
+
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Int)].collect().toSet
+    val raw = keys(QualityFilter.boilerplateDropKeysRaw(ds, cfg))
+    val viaScore = keys(QualityFilter.boilerplateDropKeys(QualityFilter.score(ds), cfg))
+    assert(raw == viaScore, "raw census must equal the scored-stage census")
+    // okText (turn 0) and canned (turn 1) recur across c-a/c-b; the
+    // short turn, the tool turn, and c-u's unique turn are exempt
+    assert(raw == Set("c-a" -> 0, "c-a" -> 1, "c-b" -> 0, "c-b" -> 1))
+
+    // application: flagged turns lose keep and gain the reason LAST
+    val labeled = QualityFilter.withBoilerplate(
+      QualityFilter.label(ds), QualityFilter.boilerplateDropKeysRaw(ds, cfg))
+    val byKey = labeled
+      .select($"conv_id", $"turn_idx", $"keep", $"drop_reasons")
+      .as[(String, Int, Boolean, Seq[String])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    raw.foreach { k =>
+      val (keep, reasons) = byKey(k)
+      assert(!keep && reasons.lastOption.contains(graft.rules.RuleConfig.RuleBoilerplate), s"$k")
+    }
+    (byKey.keySet -- raw).foreach { k =>
+      assert(!byKey(k)._2.contains(graft.rules.RuleConfig.RuleBoilerplate), s"$k")
+    }
+  }
 }
