@@ -2264,7 +2264,9 @@ object SparkEntry {
          bench AS (SELECT list(DISTINCT gr) AS bg
            FROM (SELECT unnest(grams) AS gr FROM g WHERE doc_id % 10 = 7)),
          corpus AS (SELECT doc_id,
-             CAST(len(list_intersect(grams, bg)) AS BIGINT) AS n_matched
+             -- coalesce: an empty bench set makes bg NULL (aggregate
+             -- over zero rows), where Spark reports 0 matches
+             CAST(coalesce(len(list_intersect(grams, bg)), 0) AS BIGINT) AS n_matched
            FROM g, bench WHERE doc_id % 10 <> 7)
          SELECT doc_id, n_matched, n_matched >= 1 AS contaminated
          FROM corpus ORDER BY doc_id""",

@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.functions.TextAlgos
 
@@ -17,22 +18,26 @@ import graft.functions.TextAlgos
   * joined with single spaces; `n_matched` counts the document's
   * distinct grams that occur anywhere in the benchmark set;
   * `contaminated` = `n_matched >= minMatches`. Documents shorter than
-  * `n` tokens (or with null text) have zero grams and are clean.
+  * `n` tokens (or with null text) have zero grams and are clean. The
+  * report is PER CORPUS ROW (duplicate or null `idCol` values each
+  * keep their own row and count), and `idCol` passes through with its
+  * original type — no cast.
   *
   * Scale design (the 100 TB lens): real eval suites are tiny next to
   * a training corpus — 10^6-10^7 distinct grams, i.e. an 8-80 MB
   * sorted `Array[Long]` of 64-bit gram fingerprints — so the default
   * path broadcasts the benchmark gram set and the corpus pass is
   * MAP-ONLY: one `mapPartitions` over `(id, text)` computes per-doc
-  * match counts with binary search, no shuffle, no text movement, no
-  * join. The broadcast is GATED on the counted gram-set size (the
-  * dp1 pattern — a hint that bypasses the size check is how
-  * broadcasts OOM); an oversized benchmark falls back to a keys-only
-  * shuffle join: corpus side explodes to 16-byte `(id, gram-hash)`
-  * pairs (never text), inner-joins the gram set, and counts per id.
-  * Both paths hash with the same 64-bit fingerprint and dedupe grams
-  * per document before counting, so they agree exactly (a divergence
-  * needs a 64-bit collision: ~1e-9 at 1e7 grams).
+  * match counts with a window-narrowed binary search, no shuffle, no
+  * text movement, no join. The broadcast is GATED on the counted
+  * gram-set size (the dp1 pattern — a hint that bypasses the size
+  * check is how broadcasts OOM); an oversized benchmark falls back to
+  * a keys-only shuffle join: corpus rows explode to 16-byte
+  * `(row-key, gram-hash)` pairs (never text), inner-join the gram
+  * set, and count per row key. Both paths hash with the same 64-bit
+  * fingerprint and dedupe grams per document before counting, so they
+  * agree exactly (a divergence needs a 64-bit collision: ~1e-9 at 1e7
+  * grams).
   */
 object Decontaminate {
 
@@ -69,13 +74,18 @@ object Decontaminate {
   }
 
   /** Matches of a doc's sorted-distinct gram hashes against the sorted
-    * benchmark array (merge-style walk: both sides sorted).
+    * benchmark array. Both sides are sorted strictly ascending, so each
+    * search starts where the previous hit's window ended — O(g log B)
+    * worst case, approaching a linear merge when many grams land close
+    * together.
     */
   private def countMatches(grams: Array[Long], bench: Array[Long]): Int = {
     var i = 0
     var c = 0
-    while (i < grams.length) {
-      if (java.util.Arrays.binarySearch(bench, grams(i)) >= 0) c += 1
+    var lo = 0
+    while (i < grams.length && lo < bench.length) {
+      val p = java.util.Arrays.binarySearch(bench, lo, bench.length, grams(i))
+      if (p >= 0) { c += 1; lo = p + 1 } else lo = -(p + 1)
       i += 1
     }
     c
@@ -97,6 +107,7 @@ object Decontaminate {
     * `(idCol, n_matched: bigint, contaminated: boolean)` — one row per
     * corpus row, including clean ones (`n_matched = 0`), so the output
     * is a total function of the corpus and the oracle can hash it.
+    * `idCol` keeps its original type and nullability.
     *
     * `maxBroadcastGrams` gates the broadcast path on the COUNTED
     * benchmark gram-set size; above it the keys-only join fallback
@@ -110,36 +121,55 @@ object Decontaminate {
     require(minMatches > 0, s"minMatches must be positive, got $minMatches")
     val spark = corpus.sparkSession
     import spark.implicits._
+    // persist across the gate count + the consuming pass (collect or
+    // join build) so the bench set is computed once, not twice
     val grams = benchGramSet(bench, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // count BEFORE collecting: the gate must trip without materializing
     // an oversized set on the driver
     val nGrams = grams.count()
-    val typed = corpus.select(col(idCol).cast("long"), col(textCol))
-      .as[(java.lang.Long, String)]
+    val idField = corpus.schema(corpus.schema.fieldIndex(idCol))
+    val projected = corpus.select(col(idCol), col(textCol).cast("string"))
     val counted: DataFrame =
       if (nGrams <= maxBroadcastGrams) {
         val benchArr = grams.collect()
+        grams.unpersist(blocking = false)
         java.util.Arrays.sort(benchArr)
         val bc = spark.sparkContext.broadcast(benchArr)
-        typed.mapPartitions { it =>
+        val outSchema = StructType(Seq(idField,
+          StructField("n_matched", LongType, nullable = false)))
+        projected.mapPartitions { it =>
           val arr = bc.value
-          it.map { case (id, text) =>
-            (id, countMatches(gramHashes(text, n), arr).toLong)
+          it.map { r =>
+            Row(r.get(0),
+              countMatches(gramHashes(r.getString(1), n), arr).toLong)
           }
-        }.toDF(idCol, "n_matched")
+        }(Encoders.row(outSchema)).toDF(idField.name, "n_matched")
       } else {
-        // fallback: 16-byte (id, hash) pairs ride the shuffle, never
-        // text; per-doc gram dedup already happened in gramHashes
-        val pairs = typed.flatMap { case (id, text) =>
-          gramHashes(text, n).map(h => (id, h))
-        }.toDF(idCol, "h")
+        // fallback: 16-byte (row-key, hash) pairs ride the shuffle,
+        // never text. The row key is per-ROW (not idCol) so duplicate
+        // or null ids can't merge counts or drop join rows — both
+        // subtrees below derive it from the SAME scan, whose partition
+        // layout and row order are fixed at plan time, so the ids
+        // agree (parity with the broadcast path is pinned by
+        // DecontaminateSpec, duplicate/null ids included). The bench
+        // gram set stays persisted: both its count above and the join
+        // build below read the cache; it is released after the plan is
+        // assembled (the join re-derives it at most once if evicted).
+        val withRid = projected.withColumn("__rid", monotonically_increasing_id())
+        val pairs = withRid.flatMap { r =>
+          gramHashes(r.getString(1), n).map(h => (r.getLong(2), h))
+        }.toDF("__rid", "h")
         val matched = pairs.join(grams.toDF("h"), Seq("h"))
-          .groupBy(col(idCol)).agg(count(lit(1)).as("n_matched"))
-        typed.toDF(idCol, "text").select(col(idCol))
-          .join(matched, Seq(idCol), "left")
-          .select(col(idCol), coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+          .groupBy(col("__rid")).agg(count(lit(1)).as("n_matched"))
+        val out = withRid.select(col("__rid"), col(idField.name))
+          .join(matched, Seq("__rid"), "left")
+          .select(col(idField.name),
+            coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+        grams.unpersist(blocking = false)
+        out
       }
-    counted.select(col(idCol), col("n_matched"),
+    counted.select(col(idField.name), col("n_matched"),
       (col("n_matched") >= minMatches).as("contaminated"))
   }
 }

@@ -210,8 +210,9 @@ class CheckpointSpec extends AnyFunSuite {
         boilerplate = Some(cfg.copy(minConvs = 3)))
     }
 
-    // composed with conv near-dup: clone conversations ending in 0, run
-    // both rules bucketed, and require (a) equality with the directly
+    // composed with conv near-dup: clone the PLANTED (ending-in-3)
+    // conversations so their turn 0 carries both rules, run both rules
+    // bucketed, and require (a) equality with the directly
     // composed labels and (b) boilerplate listed BEFORE conv_neardup on
     // turns that carry both
     val clones = turns.filter(_.conv_id.endsWith("3"))

@@ -61,6 +61,39 @@ class DecontaminateSpec extends AnyFunSuite {
     }
   }
 
+  test("string ids pass through untouched; dup + null ids keep per-row counts") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // string ids: the id column must keep its type, never be cast
+    val sCorpus = Seq("c-1" -> "a b c x", "c-2" -> "x y z").toDF("conv_id", "text")
+    val sBench = Seq("e-1" -> "a b c").toDF("conv_id", "text")
+    for (gate <- Seq(0L, 1L << 20)) {
+      val got = Decontaminate.decontaminate(sCorpus, sBench, "text", "conv_id",
+          n = 3, minMatches = 1, maxBroadcastGrams = gate)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+        .sortBy(_._1).toSeq
+      assert(got == Seq(("c-1", 1L, true), ("c-2", 0L, false)), s"gate=$gate")
+    }
+
+    // duplicate and null ids: the report stays PER ROW on both paths —
+    // two rows sharing an id each count their own grams (never the
+    // summed total), and a null id neither drops nor zeroes its row
+    val dCorpus = Seq[(java.lang.Long, String)](
+      (1L, "a b c x"), (1L, "a b c d y"), (null, "b c d z"))
+      .toDF("doc_id", "text")
+    val dBench = Seq[(java.lang.Long, String)]((9L, "a b c d"))
+      .toDF("doc_id", "text")
+    val byGate = Seq(0L, 1L << 20).map { gate =>
+      Decontaminate.decontaminate(dCorpus, dBench, "text", "doc_id",
+          n = 3, minMatches = 2, maxBroadcastGrams = gate)
+        .collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    }
+    assert(byGate.head == Seq((-1L, 1L, false), (1L, 1L, false), (1L, 2L, true)))
+    assert(byGate.head == byGate.last, "paths diverge on dup/null ids")
+  }
+
   test("gramHashes: dedup, ordering-insensitive hashing, short inputs") {
     val h = Decontaminate.gramHashes("A  b\tC", 3)
     assert(h.length == 1) // case-folded, whitespace-run split
