@@ -168,6 +168,14 @@ object Soak {
     val skewCap = args.lift(1).map(_.toInt).getOrElse(200000)
     val skewMaxTurns = args.lift(2).map(_.toInt).getOrElse(50000)
     val nBuckets = args.lift(3).map(_.toInt).getOrElse(8)
+    // "optins" turns on BOTH opt-in rules (conv near-dup + boilerplate);
+    // "bp" / "cnd" turn on just one, separating their soak cost. The
+    // generator's finite phrase pools make the boilerplate census flag
+    // heavily — a deliberate stress of the flagged-side join at the far
+    // end of its envelope
+    val optArg = args.lift(4)
+    val withBp = optArg.exists(a => a == "optins" || a == "bp")
+    val withCnd = optArg.exists(a => a == "optins" || a == "cnd")
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SOAK_MASTER", "local[32]"))
@@ -192,16 +200,24 @@ object Soak {
       .parquet(s"$corpus/turns").as[graft.schema.Turn]
     val t1 = System.nanoTime()
     val res = CheckpointedRun.run(input, outRoot, nBuckets,
-      metricsRoot = Some(metricsRoot), skewMaxTurns = skewMaxTurns)
+      metricsRoot = Some(metricsRoot), skewMaxTurns = skewMaxTurns,
+      convNearDup =
+        if (withCnd) Some(graft.pipeline.QualityFilter.ConvNearDupConfig()) else None,
+      boilerplate =
+        if (withBp) Some(graft.pipeline.QualityFilter.BoilerplateConfig()) else None)
     val runSecs = (System.nanoTime() - t1) / 1e9
 
     val out = CheckpointedRun.readOutput(spark, outRoot, nBuckets)
-    val row = out.agg(count(lit(1)), sum(when(col("keep"), 1L).otherwise(0L))).head()
+    val row = out.agg(count(lit(1)), sum(when(col("keep"), 1L).otherwise(0L)),
+      sum(when(array_contains(col("drop_reasons"), "boilerplate"), 1L).otherwise(0L)),
+      sum(when(array_contains(col("drop_reasons"), "conv_neardup"), 1L).otherwise(0L))
+    ).head()
     val (n, kept) = (row.getLong(0), row.getLong(1))
+    val (bp, cnd) = (row.getLong(2), row.getLong(3))
     val maxConv = input.groupBy($"conv_id").count().agg(max("count")).head().getLong(0)
     val lineage = spark.read.parquet(s"$metricsRoot/rule_lineage/data/bucket=0")
     println(
-      f"""{"soak":{"turns":$n,"kept":$kept,"max_conv_turns":$maxConv,"buckets":${res.bucketsComputed.size},"gen_secs":$genSecs%.1f,"pipeline_secs":$runSecs%.1f,"turns_per_sec":${n / runSecs}%.0f,"lineage_rules":${lineage.count()}}}""")
+      f"""{"soak":{"turns":$n,"kept":$kept,"max_conv_turns":$maxConv,"buckets":${res.bucketsComputed.size},"gen_secs":$genSecs%.1f,"pipeline_secs":$runSecs%.1f,"turns_per_sec":${n / runSecs}%.0f,"lineage_rules":${lineage.count()},"optins":"${optArg.getOrElse("off")}","boilerplate_dropped":$bp,"conv_neardup_dropped":$cnd}}""")
     spark.stop()
   }
 }
