@@ -225,18 +225,37 @@ object TextAlgos {
     }
   }
 
+  /** Per-permutation seeds for [[minHashSignature]], hoisted out of the
+    * (shingle × hash) inner loop — the seed is a pure function of the
+    * hash index, and recomputing its mix64 per pair roughly doubled the
+    * signature pass's cost (the dominant stage of conversation near-dup
+    * at soak scale). Grow-only volatile cache: the computation is
+    * idempotent, so a racing publish is harmless.
+    */
+  @volatile private var minHashSeedCache: Array[Long] = Array.emptyLongArray
+  private def minHashSeeds(numHashes: Int): Array[Long] = {
+    var s = minHashSeedCache
+    if (s.length < numHashes) {
+      s = Array.tabulate(numHashes)(h => mix64(h.toLong * 0x9e3779b97f4a7c15L + 1))
+      minHashSeedCache = s
+    }
+    s
+  }
+
   /** MinHash signature: for each of `numHashes` seeded permutations,
     * the minimum of mix64(shingle ^ seed_i). Empty doc → Long.MaxValue
     * rows (never collides with real signatures in band buckets because
     * callers filter empty docs).
     */
   def minHashSignature(sh: Array[Long], numHashes: Int): Array[Long] = {
+    val seeds = minHashSeeds(numHashes)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < sh.length) {
+      val s = sh(i)
       var h = 0
       while (h < numHashes) {
-        val v = mix64(sh(i) ^ mix64(h.toLong * 0x9e3779b97f4a7c15L + 1))
+        val v = mix64(s ^ seeds(h))
         if (v < sig(h)) sig(h) = v
         h += 1
       }

@@ -210,6 +210,20 @@ object Dedup {
       .select(col("cid"), posexplode(array((0 until bands).map(b =>
         xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b))): _*)))
       .select(col("pos").as("band"), col("col").as("bucket"), col("cid"))
+    // Candidate volume note (measured on a 2M-conversation soak
+    // corpus of SHORT conversations): rows-per-band = numHashes/bands
+    // makes a single band collision a weak signal, so the bucket stage
+    // floods — 8.1M candidate pairs for 13 true near-dups — and the
+    // text-verify below carries them all. A signature-estimate
+    // prefilter (join the 64-long combined sigs back to the pairs,
+    // keep fraction-equal ≥ threshold-5σ) was tried and REVERTED: on
+    // short conversations the 512 B signature per pair side costs MORE
+    // shuffle than the conversation text it saves (cnd soak 269 s →
+    // 345-425 s). The text stage stays bounded either way: `maxBucket`
+    // caps per-bucket expansion (with truncation observed as metrics),
+    // and conversations join in DISTINCT — the flood pays in 16-byte
+    // pair rows, not text. Revisit the prefilter only for corpora
+    // whose per-conversation text dwarfs the signature.
     val cand = lshBucketPairs(banded, Seq("band", "bucket"), col("cid"),
         maxBucket, "cd2")
       .distinct()
