@@ -910,6 +910,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "dc2_decontaminate_join" -> ((s, dir) => {
+      // the same report through the keys-only JOIN FALLBACK (broadcast
+      // gate forced to 0) — the path an oversized benchmark takes at
+      // scale; must land the identical rows, so it shares dc1's oracle
+      val docs = t(s, dir, "documents")
+      graft.ops.Decontaminate.decontaminate(
+          docs.where(col("doc_id") % 10 =!= 7),
+          docs.where(col("doc_id") % 10 === 7),
+          "text", "doc_id", n = 4, minMatches = 1, maxBroadcastGrams = 0L)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---------------------------------------------------- ANN suite (ANN*)
     "ann1_brute_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1747,6 +1759,31 @@ object SparkEntry {
                (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS j
            FROM ${prefix}sh a JOIN ${prefix}sh b ON a.conv_id < b.conv_id)"""
 
+  /** Shared dc1/dc2 oracle: DuckDB rebuilds both sides' distinct word
+    * 4-grams as strings and intersects them — the Spark side's 64-bit
+    * fingerprints (broadcast and join-fallback paths alike) must land
+    * the same counts.
+    */
+  private def decontaminateOracleSql: String =
+    raw"""WITH w AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+             x -> x <> '') AS toks
+         FROM documents),
+       g AS (SELECT doc_id, CASE WHEN len(toks) < 4 THEN CAST([] AS VARCHAR[])
+           ELSE list_distinct(list_transform(generate_series(1, len(toks) - 3),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+           END AS grams
+         FROM w),
+       bench AS (SELECT list(DISTINCT gr) AS bg
+         FROM (SELECT unnest(grams) AS gr FROM g WHERE doc_id % 10 = 7)),
+       corpus AS (SELECT doc_id,
+           -- coalesce: an empty bench set makes bg NULL (aggregate
+           -- over zero rows), where Spark reports 0 matches
+           CAST(coalesce(len(list_intersect(grams, bg)), 0) AS BIGINT) AS n_matched
+         FROM g, bench WHERE doc_id % 10 <> 7)
+       SELECT doc_id, n_matched, n_matched >= 1 AS contaminated
+       FROM corpus ORDER BY doc_id"""
+
   private def convNearDupBruteSql: String =
     s"""WITH ${convBruteCtes("")}
          SELECT id_a, id_b, round(j, 6) AS jaccard FROM p
@@ -2251,25 +2288,10 @@ object SparkEntry {
     // decontamination re-derived gram-by-gram: DuckDB rebuilds both
     // sides' distinct word 4-grams as strings and intersects them —
     // the Spark side's 64-bit fingerprints must land the same counts
-    "dc1_decontaminate" ->
-      raw"""WITH w AS (SELECT doc_id,
-             list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
-               x -> x <> '') AS toks
-           FROM documents),
-         g AS (SELECT doc_id, CASE WHEN len(toks) < 4 THEN CAST([] AS VARCHAR[])
-             ELSE list_distinct(list_transform(generate_series(1, len(toks) - 3),
-               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
-             END AS grams
-           FROM w),
-         bench AS (SELECT list(DISTINCT gr) AS bg
-           FROM (SELECT unnest(grams) AS gr FROM g WHERE doc_id % 10 = 7)),
-         corpus AS (SELECT doc_id,
-             -- coalesce: an empty bench set makes bg NULL (aggregate
-             -- over zero rows), where Spark reports 0 matches
-             CAST(coalesce(len(list_intersect(grams, bg)), 0) AS BIGINT) AS n_matched
-           FROM g, bench WHERE doc_id % 10 <> 7)
-         SELECT doc_id, n_matched, n_matched >= 1 AS contaminated
-         FROM corpus ORDER BY doc_id""",
+    "dc1_decontaminate" -> decontaminateOracleSql,
+
+    // the join-fallback path must land the identical report
+    "dc2_decontaminate_join" -> decontaminateOracleSql,
 
     // the ann recall/exactness gates emit booleans the oracle predicts:
     // the LSH/IVF side is not SQL-expressible, but a recall regression
