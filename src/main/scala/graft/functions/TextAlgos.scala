@@ -234,12 +234,20 @@ object TextAlgos {
     */
   @volatile private var minHashSeedCache: Array[Long] = Array.emptyLongArray
   private def minHashSeeds(numHashes: Int): Array[Long] = {
-    var s = minHashSeedCache
-    if (s.length < numHashes) {
-      s = Array.tabulate(numHashes)(h => mix64(h.toLong * 0x9e3779b97f4a7c15L + 1))
-      minHashSeedCache = s
+    val s = minHashSeedCache
+    if (s.length >= numHashes) s
+    else synchronized {
+      // re-check under the lock so a racing shorter request can never
+      // shrink the published array (grow-only for real)
+      val cur = minHashSeedCache
+      if (cur.length >= numHashes) cur
+      else {
+        val nu = Array.tabulate(numHashes)(h =>
+          mix64(h.toLong * 0x9e3779b97f4a7c15L + 1))
+        minHashSeedCache = nu
+        nu
+      }
     }
-    s
   }
 
   /** MinHash signature: for each of `numHashes` seeded permutations,

@@ -41,6 +41,26 @@ import graft.functions.TextAlgos
   */
 object Decontaminate {
 
+  /** One-slot cache handle for the join-fallback path's persisted
+    * frames (bench gram set + rid-pinned corpus projection): they must
+    * stay cached until the CALLER's action runs (the returned frame is
+    * lazy), so each `decontaminate` call releases the previous call's
+    * relations and [[releaseCache]] frees the last one. Process-global
+    * like DocPipeline's flags slot — concurrent `decontaminate` calls
+    * would release each other's caches mid-query (recompute, not
+    * wrong answers); document single-threaded use.
+    */
+  @transient private var previousCached: Seq[Dataset[_]] = Nil
+  private def swapCached(ds: Seq[Dataset[_]]): Unit = synchronized {
+    previousCached.foreach(_.unpersist(blocking = false))
+    previousCached = ds
+  }
+
+  /** Release the cached relations pinned by the most recent
+    * join-fallback `decontaminate` call.
+    */
+  def releaseCache(): Unit = swapCached(Nil)
+
   /** Distinct sorted 64-bit fingerprints of a text's word n-grams —
     * the single tokenization + hashing source for both paths.
     */
@@ -119,6 +139,8 @@ object Decontaminate {
                     maxBroadcastGrams: Long = 1L << 26): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
     require(minMatches > 0, s"minMatches must be positive, got $minMatches")
+    require(idCol != "__rid" && textCol != "__rid",
+      "__rid is reserved for the fallback path's internal row key")
     val spark = corpus.sparkSession
     import spark.implicits._
     // persist across the gate count + the consuming pass (collect or
@@ -134,6 +156,7 @@ object Decontaminate {
       if (nGrams <= maxBroadcastGrams) {
         val benchArr = grams.collect()
         grams.unpersist(blocking = false)
+        swapCached(Nil) // also free any previous fallback call's frames
         java.util.Arrays.sort(benchArr)
         val bc = spark.sparkContext.broadcast(benchArr)
         val outSchema = StructType(Seq(idField,
@@ -148,26 +171,32 @@ object Decontaminate {
       } else {
         // fallback: 16-byte (row-key, hash) pairs ride the shuffle,
         // never text. The row key is per-ROW (not idCol) so duplicate
-        // or null ids can't merge counts or drop join rows — both
-        // subtrees below derive it from the SAME scan, whose partition
-        // layout and row order are fixed at plan time, so the ids
-        // agree (parity with the broadcast path is pinned by
-        // DecontaminateSpec, duplicate/null ids included). The bench
-        // gram set stays persisted: both its count above and the join
-        // build below read the cache; it is released after the plan is
-        // assembled (the join re-derives it at most once if evicted).
+        // or null ids can't merge counts or drop join rows. The rid
+        // assignment is PINNED by persisting and materializing the
+        // projection before the two subtrees below branch — without
+        // that, each subtree would re-evaluate
+        // monotonically_increasing_id on its own scan, and any
+        // nondeterministic lineage (an upstream shuffle's fetch order,
+        // a stage retry) could attach one row's count to another's id.
+        // The usual cached-relation caveat remains: losing an executor
+        // recomputes its blocks, which is why the cap is a cluster-
+        // standard risk, not a new one. Both this frame and the bench
+        // gram set stay cached until the caller's action runs; the
+        // one-slot handle above releases them on the next call (or via
+        // releaseCache()).
         val withRid = projected.withColumn("__rid", monotonically_increasing_id())
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        withRid.count()
+        swapCached(Seq(grams, withRid))
         val pairs = withRid.flatMap { r =>
           gramHashes(r.getString(1), n).map(h => (r.getLong(2), h))
         }.toDF("__rid", "h")
         val matched = pairs.join(grams.toDF("h"), Seq("h"))
           .groupBy(col("__rid")).agg(count(lit(1)).as("n_matched"))
-        val out = withRid.select(col("__rid"), col(idField.name))
+        withRid.select(col("__rid"), col(idField.name))
           .join(matched, Seq("__rid"), "left")
           .select(col(idField.name),
             coalesce(col("n_matched"), lit(0L)).as("n_matched"))
-        grams.unpersist(blocking = false)
-        out
       }
     counted.select(col(idField.name), col("n_matched"),
       (col("n_matched") >= minMatches).as("contaminated"))

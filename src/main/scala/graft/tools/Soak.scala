@@ -174,6 +174,10 @@ object Soak {
     // heavily — a deliberate stress of the flagged-side join at the far
     // end of its envelope
     val optArg = args.lift(4)
+    // fail fast on typos: a silently-ignored arg would emit a soak
+    // record labeled with a rule that never ran
+    require(optArg.forall(Set("optins", "bp", "cnd")),
+      s"arg 5 must be optins|bp|cnd, got ${optArg.get}")
     val withBp = optArg.exists(a => a == "optins" || a == "bp")
     val withCnd = optArg.exists(a => a == "optins" || a == "cnd")
 
@@ -209,8 +213,10 @@ object Soak {
 
     val out = CheckpointedRun.readOutput(spark, outRoot, nBuckets)
     val row = out.agg(count(lit(1)), sum(when(col("keep"), 1L).otherwise(0L)),
-      sum(when(array_contains(col("drop_reasons"), "boilerplate"), 1L).otherwise(0L)),
-      sum(when(array_contains(col("drop_reasons"), "conv_neardup"), 1L).otherwise(0L))
+      sum(when(array_contains(col("drop_reasons"),
+        graft.rules.RuleConfig.RuleBoilerplate), 1L).otherwise(0L)),
+      sum(when(array_contains(col("drop_reasons"),
+        graft.rules.RuleConfig.RuleConvNearDup), 1L).otherwise(0L))
     ).head()
     val (n, kept) = (row.getLong(0), row.getLong(1))
     val (bp, cnd) = (row.getLong(2), row.getLong(3))
