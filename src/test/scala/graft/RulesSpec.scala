@@ -254,7 +254,13 @@ class RulesSpec extends AnyFunSuite {
       Turn(id, 2, "user", "ok thanks", null, ts(2)),
       Turn(id, 3, "tool", toolPayload, "search", ts(3)))
     val unique = Seq(
-      Turn("c-u", 0, "user", okText + " in much more detail please", null, ts(0)))
+      Turn("c-u", 0, "user", okText + " in much more detail please", null, ts(0)),
+      // null and sentinel texts recur across convs but is_empty exempts
+      // them — the raw path's normalize+sentinel check must agree with
+      // the scored stage on these too
+      Turn("c-u", 1, "assistant", null, null, ts(1)),
+      Turn("c-v", 0, "user", "   MISSINGVALUE ", null, ts(0)),
+      Turn("c-v", 1, "assistant", null, null, ts(1)))
     val ds = spark.createDataset(conv("c-a") ++ conv("c-b") ++ unique)
     val cfg = QualityFilter.BoilerplateConfig()
 
