@@ -2008,12 +2008,15 @@ object SparkEntry {
     // (running total, sequence counter) exactly as the mapPartitions
     // state does
     "pk1_sequence_packing" ->
-      s"""WITH RECURSIVE w AS (
+      s"""WITH RECURSIVE w0 AS (
            SELECT CAST(doc_id AS BIGINT) AS doc_id,
                   CAST(doc_id % $PackShards AS INTEGER) AS shard,
-                  CAST(coalesce(len(regexp_extract_all(text, '${graft.lm.Bpe.PreTokenRe}')), 0) AS BIGINT) AS n,
-                  row_number() OVER (PARTITION BY doc_id % $PackShards ORDER BY doc_id) AS rn
+                  CAST(coalesce(len(regexp_extract_all(text, '${graft.lm.Bpe.PreTokenRe}')), 0) AS BIGINT) AS n
            FROM documents),
+         -- n as the tie-break mirrors the packer's sort keys: duplicate
+         -- doc_id values still get a total, run-independent order
+         w AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id, n) AS rn
+           FROM w0),
          r AS (
            SELECT doc_id, shard, n, rn, n AS cum, CAST(0 AS BIGINT) AS seq
            FROM w WHERE rn = 1

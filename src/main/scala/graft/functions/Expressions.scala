@@ -19,7 +19,8 @@ object GraftExpressions {
     * out — no boxing).
     */
   def repetitionRatio(s: UTF8String, n: Int): Double =
-    TextAlgos.distinctNgramFraction(if (s == null) null else s.toString.toLowerCase, n)
+    TextAlgos.distinctNgramFraction(
+      if (s == null) null else s.toString.toLowerCase(java.util.Locale.ROOT), n)
 
   def symbolDensity(s: UTF8String): Double =
     TextAlgos.symbolDensity(if (s == null) null else s.toString)

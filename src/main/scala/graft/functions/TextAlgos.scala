@@ -179,7 +179,7 @@ object TextAlgos {
   def docFingerprint(s: String): Long = {
     if (s == null) return 0L
     var h = 0xcbf29ce484222325L
-    val lower = s.toLowerCase
+    val lower = s.toLowerCase(java.util.Locale.ROOT)
     var i = 0
     var prevWs = true
     while (i < lower.length) {
@@ -201,7 +201,9 @@ object TextAlgos {
     */
   def shingles(s: String, k: Int): Array[Long] = {
     if (s == null) return Array.emptyLongArray
-    val toks = s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    // Locale.ROOT: keep tokenization identical to DuckDB lower() under
+    // any default JVM locale (tr-TR would fold 'I' to dotless ı)
+    val toks = s.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
     if (toks.length < k) {
       if (toks.isEmpty) Array.emptyLongArray
       else Array(hash64(toks.mkString(" ")))

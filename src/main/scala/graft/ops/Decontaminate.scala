@@ -66,7 +66,9 @@ object Decontaminate {
     */
   private[graft] def gramHashes(text: String, n: Int): Array[Long] = {
     if (text == null) return Array.emptyLongArray
-    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    // Locale.ROOT: a locale-sensitive lowercase (tr-TR dotless ı) would
+    // diverge from DuckDB's lower() and across hosts
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
     if (toks.length < n) return Array.emptyLongArray
     val out = new Array[Long](toks.length - n + 1)
     val sb = new java.lang.StringBuilder

@@ -34,10 +34,13 @@ import org.apache.spark.sql.functions._
   *    by construction (sequences never cross a shard), which is
   *    exactly how multi-worker training loaders consume the corpus.
   *
-  * Determinism: shard assignment, intra-shard order, and the next-fit
+  * Determinism: shard assignment, intra-shard order (by `doc_id`, then
+  * `n_tokens` so duplicate ids still order totally), and the next-fit
   * recurrence are pure functions of `doc_id` and the token counts, so
   * the full assignment is reproducible run-to-run and re-derivable by
   * the DuckDB oracle (a recursive CTE walks the same recurrence).
+  * Rows that tie on BOTH keys are interchangeable in the recurrence, so
+  * the assignment is still unique as a multiset.
   */
 object Packing {
 
@@ -67,7 +70,10 @@ object Packing {
         (id % lit(nShards.toLong)).cast("int").as("shard"),
         coalesce(col(tokensCol).cast("long"), lit(0L)).as("n_tokens"))
       .repartition(col("shard"))
-      .sortWithinPartitions(col("shard"), col("doc_id"))
+      // n_tokens as the tie-break: duplicate doc_id values would
+      // otherwise sort arbitrarily and make the cum/seq assignment
+      // run-dependent (the oracle CTE orders by the same two keys)
+      .sortWithinPartitions(col("shard"), col("doc_id"), col("n_tokens"))
       .as[(Long, Int, Long)]
       .mapPartitions { it =>
         // a hash partition may hold several whole shards (contiguous

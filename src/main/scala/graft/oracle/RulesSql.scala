@@ -134,7 +134,10 @@ object RulesSql {
                              droppedRel: String): String =
     s"""${labelCtes(scoredGlob)},
        $extraCtes,
-       f AS (SELECT r.*, (conv_id IN (SELECT conv_id FROM $droppedRel)) AS cnd
+       f AS (SELECT r.*,
+               -- coalesce: IN is NULL for a NULL conv_id, but Spark's
+               -- withConvNearDup left join never flags a null-id row
+               coalesce((conv_id IN (SELECT conv_id FROM $droppedRel)), false) AS cnd
              FROM r)
        SELECT conv_id, turn_idx, (reasons = '' AND NOT cnd) AS keep,
          CASE WHEN NOT cnd THEN reasons

@@ -73,6 +73,17 @@ object CheckpointedRun {
           s"output table $outRoot was partially produced under '$prior' but this " +
             s"run asks for '$cfgStr' — finish the run with the original setting " +
             "or start a fresh output root")
+      } else {
+        // no labeling.cfg but committed buckets: a table produced before
+        // this guard existed (or via direct SnapshotTable use) carries
+        // the documented pre-rule default semantics — every opt-in off.
+        // Resuming with any opt-in ON would mix label semantics per
+        // bucket, the exact failure the guard prevents.
+        require(table.completedBuckets.isEmpty ||
+            (convNearDup.isEmpty && boilerplate.isEmpty),
+          s"output table $outRoot has committed buckets but no labeling.cfg " +
+            "(pre-guard table: all opt-in rules off) — this run enables an " +
+            "opt-in rule; finish with the rules off or start a fresh output root")
       }
       java.nio.file.Files.write(cfgFile, cfgStr.getBytes(UTF_8))
     }
