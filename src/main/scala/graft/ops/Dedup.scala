@@ -199,7 +199,7 @@ object Dedup {
     */
   def conversationMinHashPairs(turns: DataFrame, convCol: String = "conv_id",
                                idxCol: String = "turn_idx", textCol: String = "text",
-                               numHashes: Int = 64, bands: Int = 32,
+                               numHashes: Int = 64, bands: Int = 16,
                                shingleK: Int = 3, threshold: Double = 0.7,
                                maxBucket: Int = 256): DataFrame = {
     require(numHashes % bands == 0)
@@ -215,20 +215,28 @@ object Dedup {
       .select(col("cid"), posexplode(array((0 until bands).map(b =>
         xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b))): _*)))
       .select(col("pos").as("band"), col("col").as("bucket"), col("cid"))
-    // Candidate volume note (measured on a 2M-conversation soak
-    // corpus of SHORT conversations): rows-per-band = numHashes/bands
-    // makes a single band collision a weak signal, so the bucket stage
-    // floods — 8.1M candidate pairs for 13 true near-dups — and the
-    // text-verify below carries them all. A signature-estimate
-    // prefilter (join the 64-long combined sigs back to the pairs,
-    // keep fraction-equal ≥ threshold-5σ) was tried and REVERTED: on
+    // Candidate volume is governed by the LSH s-curve
+    // P(candidate at similarity s) = 1 - (1 - s^r)^b with
+    // r = numHashes/bands rows per band. The original default (b=32,
+    // r=2) made one band collision a weak signal — at s=0.2 the
+    // collision rate is 1-(1-0.04)^32 ≈ 73%, and a 2M-conversation
+    // soak corpus measured 8.1M candidate pairs for 13 true near-dups.
+    // The default is now b=16, r=4 (same 64 hashes): recall at the 0.7
+    // verify threshold stays ≈ 1-(1-0.24)^16 ≈ 0.99 (and ≈ 1 for the
+    // high-jaccard pairs near-dup rules exist for) while the s=0.2
+    // collision rate drops to 1-(1-0.0016)^16 ≈ 2.5% — a ~30×
+    // candidate reduction for free (re-measured on the same soak:
+    // see SCALE.md). A signature-estimate prefilter (join the 64-long
+    // combined sigs back to the pairs, keep fraction-equal ≥
+    // threshold-5σ) was tried and REVERTED before the re-banding: on
     // short conversations the 512 B signature per pair side costs MORE
     // shuffle than the conversation text it saves (cnd soak 269 s →
-    // 345-425 s). The text stage stays bounded either way: `maxBucket`
-    // caps per-bucket expansion (with truncation observed as metrics),
-    // and conversations join in DISTINCT — the flood pays in 16-byte
-    // pair rows, not text. Revisit the prefilter only for corpora
-    // whose per-conversation text dwarfs the signature.
+    // 345-425 s at b=32). The text stage stays bounded either way:
+    // `maxBucket` caps per-bucket expansion (with truncation observed
+    // as metrics), and conversations join in DISTINCT — candidates pay
+    // in 16-byte pair rows, not text. Callers needing the exact-
+    // agreement regime (recall ≈ 1 down to low jaccard, e.g. the
+    // cd1/cd2 parity queries) pass bands=32 explicitly.
     val cand = lshBucketPairs(banded, Seq("band", "bucket"), col("cid"),
         maxBucket, "cd2")
       .distinct()
