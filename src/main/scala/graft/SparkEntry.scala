@@ -162,6 +162,18 @@ object SparkEntry {
       persistSeam(QualityFilter.score(
         clonedTranscripts(s).as[graft.schema.Turn]).toDF(), "qf5_scored")
     }
+    // cd3: the conv-near-dup pair list at the PRODUCTION banding
+    // (ConvNearDupConfig defaults — 16 bands × 4 rows, where misses are
+    // possible by design) — the dd2c-style precision + recall-bound
+    // oracle re-verifies it against brute force over cd_convs
+    locally {
+      val cfg = QualityFilter.ConvNearDupConfig()
+      persistSeam(Dedup.conversationMinHashPairs(clonedTranscripts(s),
+          numHashes = cfg.numHashes, bands = cfg.bands, shingleK = cfg.shingleK,
+          threshold = cfg.threshold, maxBucket = cfg.maxBucket)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard")),
+        "cd3_pairs")
+    }
   }
 
   /** Merge-table size for the bpe1 query/seam pair — one constant so
@@ -175,6 +187,14 @@ object SparkEntry {
     */
   private val PackShards = 8
   private val PackCapacity = 256L
+
+  /** Decontamination-rule parameters (qf7): gram order 3 and match
+    * threshold 2 — turns are sentence-length, so 3-grams give enough
+    * windows for the >= 2 threshold to discriminate. One constant pair
+    * feeds the Spark query and the DuckDB re-derivation.
+    */
+  private val Qf7Ngram = 3
+  private val Qf7MinMatches = 2
 
   /** Deterministic stratified sampling (sm1): per-source keep rates
     * realized as a threshold over the first 4 hex chars of
@@ -1156,6 +1176,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "pk2_sequence_packing_bpe" -> ((s, dir) => {
+      // pk1 with REAL tokenizer counts: the packer's budget is the
+      // training context window, which is measured in BPE tokens, not
+      // regex word pieces — n_tokens comes from Bpe.tokenCounts under
+      // the corpus-trained merge table (the bpe1 model; deterministic,
+      // so the live model here equals the one behind the bpe_vocab
+      // seam). DuckDB re-derives every count from raw text + the seam
+      // and walks the same next-fit recurrence.
+      val docs = t(s, dir, "documents")
+      val model = graft.lm.Bpe.train(docs, "text", BpeNumMerges)
+      graft.ops.Packing.packNextFit(
+          graft.lm.Bpe.tokenCounts(docs, "doc_id", "text", model),
+          "doc_id", "n_tokens", PackShards, PackCapacity)
+        .orderBy(col("doc_id"))
+    }),
+
     "sm1_stratified_sample" -> ((s, dir) => {
       // deterministic per-source (stratified) sampling: keep a doc iff
       // the first 4 hex chars of md5(doc_id) fall under the source's
@@ -1310,6 +1346,20 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "cd3_conv_lsh_recall" -> ((s, _) => {
+      // the production banding's recall bound (16 bands × 4 rows — the
+      // ConvNearDupConfig default after the round-6 s-curve tune): the
+      // emitted pair list is the cd3_pairs seam (written by prepareSeams
+      // with exactly the production parameters); DuckDB re-verifies
+      // every pair against brute-force conversation jaccard (precision
+      // + value) and bounds recall at ≥ 0.9, the dd2c pattern. The
+      // booleans are the PREDICTED values the oracle must reproduce.
+      readSeam(s, "cd3_pairs")
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          lit(true).as("in_brute"), lit(true).as("recall_ok"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "lm1_trigram_counts" -> ((s, dir) => {
       // distributed LM training as an aggregation: normalized
       // char-trigram counts over the corpus — the same aggregation
@@ -1449,6 +1499,29 @@ object SparkEntry {
       QualityFilter.withBoilerplate(
           QualityFilter.labelScored(back),
           QualityFilter.boilerplateDropKeys(back))
+        .select(col("conv_id"), col("turn_idx"), col("keep"),
+          concat_ws("|", col("drop_reasons")).as("reasons"))
+        .orderBy(col("conv_id"), col("turn_idx"))
+    }),
+
+    "qf7_decontaminate_rule" -> ((s, _) => {
+      // the OPT-IN benchmark-decontamination rule composed with the
+      // flagship labels: turns where turn_idx % 7 == 3 stand in for a
+      // held-out eval suite; any turn sharing >= Qf7MinMatches distinct
+      // word Qf7Ngram-grams with that set (dc1's broadcast machinery,
+      // keyed by the (conv_id, turn_idx) struct) is dropped with reason
+      // `contaminated`. DuckDB re-derives the contaminated set from raw
+      // text + the same predicate, plus the full rules layer.
+      import s.implicits._
+      val back = readSeam(s, "qf_scored").as[graft.schema.ScoredTurn]
+      val bench = back.toDF().where(col("turn_idx") % 7 === 3)
+        .select(col("text"))
+      val cfg = QualityFilter.ContaminationConfig(
+        benchPath = "<inline bench frame — path unused outside CheckpointedRun>",
+        n = Qf7Ngram, minMatches = Qf7MinMatches)
+      QualityFilter.withContaminated(
+          QualityFilter.labelScored(back),
+          QualityFilter.contaminatedTurnKeys(back.toDF(), bench, cfg))
         .select(col("conv_id"), col("turn_idx"), col("keep"),
           concat_ws("|", col("drop_reasons")).as("reasons"))
         .orderBy(col("conv_id"), col("turn_idx"))
@@ -2028,6 +2101,35 @@ object SparkEntry {
          SELECT doc_id, shard, seq AS seq_id, n AS n_tokens
          FROM r ORDER BY doc_id""",
 
+    // pk1's recurrence with BPE token counts: n comes from the raw
+    // text split with the shared pre-token regex joined to the
+    // persisted word→token-count seam (the bpe1 derivation), then the
+    // same recursive CTE walks the next-fit state
+    "pk2_sequence_packing_bpe" ->
+      s"""WITH RECURSIVE bw AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             unnest(regexp_extract_all(text, '${graft.lm.Bpe.PreTokenRe}')) AS word
+           FROM documents),
+         bc AS (SELECT bw.doc_id, sum(v.n_tokens) AS n
+               FROM bw JOIN (SELECT * FROM '${oracleSeamGlob("bpe_vocab")}') v
+                 USING (word) GROUP BY bw.doc_id),
+         w0 AS (SELECT d.doc_id,
+                  CAST(d.doc_id % $PackShards AS INTEGER) AS shard,
+                  CAST(coalesce(bc.n, 0) AS BIGINT) AS n
+           FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
+           LEFT JOIN bc USING (doc_id)),
+         w AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id, n) AS rn
+           FROM w0),
+         r AS (
+           SELECT doc_id, shard, n, rn, n AS cum, CAST(0 AS BIGINT) AS seq
+           FROM w WHERE rn = 1
+           UNION ALL
+           SELECT w.doc_id, w.shard, w.n, w.rn,
+                  CASE WHEN r.cum + w.n <= $PackCapacity THEN r.cum + w.n ELSE w.n END,
+                  CASE WHEN r.cum + w.n <= $PackCapacity THEN r.seq ELSE r.seq + 1 END
+           FROM r JOIN w ON w.shard = r.shard AND w.rn = r.rn + 1)
+         SELECT doc_id, shard, seq AS seq_id, n AS n_tokens
+         FROM r ORDER BY doc_id""",
+
     // same md5-threshold rule, same CASE text (SampleThrCaseSql)
     "sm1_stratified_sample" ->
       s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
@@ -2419,12 +2521,33 @@ object SparkEntry {
     "qf6_boilerplate_rule" ->
       graft.oracle.RulesSql.relabelWithBoilerplateSql(oracleSeamGlob("qf5_scored")),
 
+    // relabel the flagship seam + the contaminated-turn set re-derived
+    // from raw text against the turn_idx % 7 == 3 bench predicate
+    "qf7_decontaminate_rule" ->
+      graft.oracle.RulesSql.relabelWithContaminatedSql(
+        oracleSeamGlob("qf_scored"), "turn_idx % 7 = 3", Qf7Ngram, Qf7MinMatches),
+
     "cd1_conversation_neardup" -> convNearDupBruteSql,
 
     // cd2's min-combined-signature path must land on the SAME pair list
     // as cd1 (verify is over identical conversation text; candidate
     // recall at 32 bands covers every ≥-threshold pair on this corpus)
     "cd2_conversation_neardup_nosort" -> convNearDupBruteSql,
+
+    // the production 16×4 banding re-verified pairwise against brute
+    // force, with the corpus-level recall bound (the dd2c pattern at
+    // conversation granularity)
+    "cd3_conv_lsh_recall" ->
+      s"""WITH ${convBruteCtes("")},
+         b AS (SELECT id_a, id_b, j FROM p WHERE j >= ${QualityFilter.ConvNearDupConfig().threshold}),
+         e AS (SELECT id_a, id_b FROM '${oracleSeamGlob("cd3_pairs")}'),
+         hit AS (SELECT count(*) AS n_hit FROM e JOIN b ON e.id_a = b.id_a AND e.id_b = b.id_b),
+         nb AS (SELECT count(*) AS n_brute FROM b)
+         SELECT e.id_a, e.id_b, round(b.j, 6) AS jaccard,
+           (b.id_a IS NOT NULL) AS in_brute,
+           ((SELECT n_hit FROM hit) >= 0.9 * (SELECT n_brute FROM nb)) AS recall_ok
+         FROM e LEFT JOIN b ON e.id_a = b.id_a AND e.id_b = b.id_b
+         ORDER BY e.id_a, e.id_b""",
 
     "lm1_trigram_counts" ->
       """WITH d AS (SELECT regexp_replace(regexp_replace(regexp_replace(

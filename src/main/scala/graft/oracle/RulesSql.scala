@@ -171,6 +171,48 @@ object RulesSql {
               ELSE reasons || '|' || ${q(RuleBoilerplate)} END AS reasons
        FROM f ORDER BY conv_id, turn_idx"""
 
+  /** Relabel + the opt-in benchmark-decontamination rule (qf7): the
+    * contaminated-turn set is re-derived from first principles — the
+    * dc1 tokenization (lowercase, whitespace split, distinct `n`-token
+    * windows as space-joined strings) over every turn's text, the bench
+    * gram set from the turns satisfying `benchPred` (a SQL predicate
+    * over (conv_id, turn_idx)), and a turn is contaminated when ≥
+    * `minMatches` of its distinct grams appear in the bench set —
+    * mirroring QualityFilter.contaminatedTurnKeys + withContaminated
+    * (the Spark side matches 64-bit gram fingerprints; agreement needs
+    * no collision among the corpus' grams, ~1e-9 at 1e7 grams).
+    */
+  def relabelWithContaminatedSql(scoredGlob: String, benchPred: String,
+                                 n: Int, minMatches: Int): String = {
+    val gram = (0 until n).map {
+      case 0 => "toks[i]"
+      case j => s"toks[i+$j]"
+    }.mkString(" || ' ' || ")
+    s"""${labelCtes(scoredGlob)},
+       ctok AS (SELECT conv_id, turn_idx,
+           list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+             x -> x <> '') AS toks
+         FROM st),
+       cgr AS (SELECT conv_id, turn_idx,
+           CASE WHEN len(toks) < $n THEN CAST([] AS VARCHAR[])
+                ELSE list_distinct(list_transform(
+                  generate_series(1, len(toks) - ${n - 1}), i -> $gram))
+           END AS grams
+         FROM ctok),
+       cbg AS (SELECT list(DISTINCT g) AS bg
+         FROM (SELECT unnest(grams) AS g FROM cgr WHERE $benchPred)),
+       cdrop AS (SELECT conv_id, turn_idx FROM cgr, cbg
+         WHERE coalesce(len(list_intersect(grams, bg)), 0) >= $minMatches),
+       f AS (SELECT r.*, (d.conv_id IS NOT NULL) AS ct
+             FROM r LEFT JOIN cdrop d
+               ON d.conv_id = r.conv_id AND d.turn_idx = r.turn_idx)
+       SELECT conv_id, turn_idx, (reasons = '' AND NOT ct) AS keep,
+         CASE WHEN NOT ct THEN reasons
+              WHEN reasons = '' THEN ${q(RuleContaminated)}
+              ELSE reasons || '|' || ${q(RuleContaminated)} END AS reasons
+       FROM f ORDER BY conv_id, turn_idx"""
+  }
+
   /** Corpus-wide scrubbed-span totals per scrub rule (qf4) — the third
     * counter dimension of the north rule (kept/dropped/SCRUBBED per
     * rule), re-derived from first principles: the chain is rendered

@@ -41,15 +41,31 @@ object CheckpointedRun {
           afterDataCommit: Int => Unit = _ => (),
           maxCollectedGiants: Int = SkewSplit.MaxCollectedGiants,
           convNearDup: Option[QualityFilter.ConvNearDupConfig] = None,
-          boilerplate: Option[QualityFilter.BoilerplateConfig] = None): RunResult = {
+          boilerplate: Option[QualityFilter.BoilerplateConfig] = None,
+          pplIqrK: Option[Double] = None,
+          decontaminate: Option[QualityFilter.ContaminationConfig] = None): RunResult = {
     val table = SnapshotTable(outRoot, nBuckets)
     val bucket = Metrics.bucketCol(nBuckets)
 
-    // LABEL-SEMANTICS guard: the opt-in conv-near-dup rule changes what
-    // the committed labels MEAN, so a resume must run with the same
-    // setting the committed buckets were produced under — otherwise the
-    // table silently mixes semantics per bucket. The first run records
-    // the setting next to the manifests; later runs must match it while
+    // opt-in IQR perplexity bounds (the A8 outlier rule on the model
+    // score): quartiles are a whole-corpus statistic, so the bounds are
+    // computed ONCE over the FULL input — naive per-bucket quartiles
+    // would give each bucket different drop thresholds, breaking the
+    // bucketed == direct invariant. One extra scoring pass over the
+    // corpus (quartiles need every eligible turn's ppl — inherent to
+    // the rule); deterministic (exact histogram-selection percentiles),
+    // so a resume recomputes the identical bounds and labeling.cfg's
+    // recorded copy below fails fast if it somehow doesn't (changed
+    // corpus, changed k).
+    val pplBounds: Option[(Double, Double)] =
+      pplIqrK.map(k => QualityFilter.pplIqrBounds(QualityFilter.score(input), k))
+
+    // LABEL-SEMANTICS guard: every opt-in (conv-near-dup, boilerplate,
+    // IQR ppl bounds, decontamination) changes what the committed
+    // labels MEAN, so a resume must run with the same settings the
+    // committed buckets were produced under — otherwise the table
+    // silently mixes semantics per bucket. The first run records the
+    // settings next to the manifests; later runs must match them while
     // any bucket is already committed. (skew-max-turns is NOT recorded:
     // the split changes the plan, never the labels — CheckpointSpec
     // pins split == unsplit.)
@@ -66,6 +82,18 @@ object CheckpointedRun {
       }) + (boilerplate match {
         case Some(b) => s"\nboilerplate=${b.minConvs},${b.minLen}"
         case None => ""
+      }) + ((pplIqrK, pplBounds) match {
+        // the COMPUTED bounds are recorded, not just k: a resume whose
+        // recomputation lands different bounds (corpus changed under
+        // the table) must fail the guard, not silently relabel
+        case (Some(k), Some((lo, hi))) => s"\nppl_iqr=$k,$lo,$hi"
+        case _ => ""
+      }) + (decontaminate match {
+        case Some(d) =>
+          require(!d.benchPath.contains("\n"),
+            "decontamination bench path must not contain newlines (labeling.cfg is line-oriented)")
+          s"\ndecontaminate=${d.n},${d.minMatches},${d.benchTextCol},${d.benchPath}"
+        case None => ""
       })
       if (java.nio.file.Files.exists(cfgFile)) {
         val prior = new String(java.nio.file.Files.readAllBytes(cfgFile), UTF_8).trim
@@ -80,7 +108,8 @@ object CheckpointedRun {
         // Resuming with any opt-in ON would mix label semantics per
         // bucket, the exact failure the guard prevents.
         require(table.completedBuckets.isEmpty ||
-            (convNearDup.isEmpty && boilerplate.isEmpty),
+            (convNearDup.isEmpty && boilerplate.isEmpty &&
+              pplIqrK.isEmpty && decontaminate.isEmpty),
           s"output table $outRoot has committed buckets but no labeling.cfg " +
             "(pre-guard table: all opt-in rules off) — this run enables an " +
             "opt-in rule; finish with the rules off or start a fresh output root")
@@ -168,26 +197,45 @@ object CheckpointedRun {
       d
     }
 
+    // opt-in decontamination: per-turn (no cross-bucket coupling), but
+    // still computed ONCE corpus-wide so the benchmark gram set is
+    // built, counted, and broadcast-gated a single time instead of per
+    // bucket. Deterministic — a resume recomputes the identical keys.
+    val ctDropped = decontaminate.filter(_ => todo.nonEmpty).map { cfg =>
+      val bench = input.sparkSession.read.parquet(cfg.benchPath)
+      val d = QualityFilter.contaminatedTurnKeys(input.toDF(), bench, cfg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d.count() // materialize before any later call releases the
+                // fallback path's one-slot upstream cache
+      d
+    }
+
     todo.foreach { b =>
       val bucketInput = input.where(bucket === b)
       val base =
-        if (skewMaxTurns <= 0) QualityFilter.label(bucketInput)
+        if (skewMaxTurns <= 0)
+          QualityFilter.label(bucketInput, skewMaxTurns = 0, pplBounds)
         // censusOverflow: the corpus-wide giant count exceeded the
         // bound, so no bucket gets an inlined isin literal list (plan
         // size / driver memory) — all take the join-based split
         else if (censusOverflow)
-          SkewSplit.labelViaJoins(bucketInput, skewMaxTurns)
+          SkewSplit.labelViaJoins(bucketInput, skewMaxTurns, pplBounds)
         else SkewSplit.labelWithGiants(bucketInput, skewMaxTurns,
-          giantsByBucket.getOrElse(b, Array.empty))
-      // boilerplate (turn-level) before conv-near-dup (conversation-
-      // level): lineage lists finer-grained reasons first
+          giantsByBucket.getOrElse(b, Array.empty), pplBounds)
+      // composition order = lineage order: boilerplate then
+      // decontamination (turn-level) before conv-near-dup
+      // (conversation-level) — finer-grained reasons first
       val withBp = bpDropped match {
         case Some(d) => QualityFilter.withBoilerplate(base, d)
         case None => base
       }
-      val labeled = dropped match {
-        case Some(d) => QualityFilter.withConvNearDup(withBp, d)
+      val withCt = ctDropped match {
+        case Some(d) => QualityFilter.withContaminated(withBp, d)
         case None => withBp
+      }
+      val labeled = dropped match {
+        case Some(d) => QualityFilter.withConvNearDup(withCt, d)
+        case None => withCt
       }
       table.commitBucket(labeled, b)
       afterDataCommit(b)
@@ -203,10 +251,30 @@ object CheckpointedRun {
     }
     dropped.foreach(_.unpersist(blocking = false))
     bpDropped.foreach(_.unpersist(blocking = false))
+    ctDropped.foreach(_.unpersist(blocking = false))
+    graft.ops.Decontaminate.releaseCache()
     RunResult(table.currentVersion, todo, done.toSeq.sorted)
   }
 
   /** Read the labeled output as of the current snapshot. */
   def readOutput(spark: SparkSession, outRoot: String, nBuckets: Int): DataFrame =
     SnapshotTable(outRoot, nBuckets).read(spark)
+
+  /** Range read over the labeled output's `ts` column with FILE-LEVEL
+    * pruning: only files whose parquet-footer ts bounds overlap
+    * [tsLo, tsHi] are opened (SnapshotTable's per-file stats — files
+    * with unknown/poisoned bounds are conservatively kept), then the
+    * residual row filter applies on top. Rows with a NULL ts are
+    * outside every range, matching SQL BETWEEN semantics. This is the
+    * pipeline-level surface of the stats pruning, so operational reads
+    * ("re-score yesterday's partitions") need no io internals.
+    */
+  def readOutputRange(spark: SparkSession, outRoot: String, nBuckets: Int,
+                      tsLo: java.sql.Timestamp, tsHi: java.sql.Timestamp): DataFrame = {
+    val table = SnapshotTable(outRoot, nBuckets)
+    val (lo, hi) = (SnapshotTable.micros(tsLo), SnapshotTable.micros(tsHi))
+    table.readAt(spark, table.currentVersion,
+        f => SnapshotTable.overlapsLong(f, "ts", lo, hi))
+      .where(col("ts") >= lit(tsLo) && col("ts") <= lit(tsHi))
+  }
 }

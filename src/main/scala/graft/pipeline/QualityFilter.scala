@@ -154,10 +154,16 @@ object QualityFilter {
     * (`drop:conv_neardup`): the text-free scale path
     * ([[graft.ops.Dedup.conversationMinHashPairs]] — per-turn MinHash
     * signatures min-combined per conversation, keys-only shuffles,
-    * exact verify on LSH candidates only).
+    * exact verify on LSH candidates only). Default banding is 16 bands
+    * × 4 rows over 64 hashes: tuned so the s-curve is steep AROUND the
+    * verify threshold (recall ≈ 0.99 at jaccard 0.7, ≈ 1 above 0.8)
+    * instead of flooding the candidate stage with low-similarity
+    * collisions (the 32×2 banding collided on 73% of jaccard-0.2
+    * pairs — see the measurement note in Dedup.conversationMinHashPairs
+    * and the cd3 recall oracle).
     */
   final case class ConvNearDupConfig(
-      numHashes: Int = 64, bands: Int = 32, shingleK: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
       threshold: Double = 0.7, maxBucket: Int = 256)
 
   /** Conversations to DROP under the conv-near-dup rule: the
@@ -251,6 +257,66 @@ object QualityFilter {
       }
     }.toDF("conv_id", "turn_idx", "role", "norm_hash", "norm_len", "is_empty")
     boilerplateKeysFromMetrics(keyed, cfg)
+  }
+
+  /** Parameters of the OPT-IN benchmark-decontamination rule
+    * (`drop:contaminated` — [[graft.rules.RuleConfig.RuleContaminated]]):
+    * word n-gram overlap against a held-out evaluation set, detected by
+    * [[graft.ops.Decontaminate]] (broadcast gram set + map-only corpus
+    * pass below `maxBroadcastGrams`; keys-only join fallback above it).
+    * `benchPath` is the parquet directory of the eval set — recorded in
+    * labeling.cfg so a resume against different decontamination
+    * settings fails fast.
+    */
+  final case class ContaminationConfig(
+      benchPath: String, benchTextCol: String = "text",
+      n: Int = 8, minMatches: Int = 1,
+      maxBroadcastGrams: Long = 1L << 26)
+
+  /** Turn keys to DROP under the decontamination rule: (conv_id,
+    * turn_idx) of every turn whose text shares ≥ `minMatches` distinct
+    * word n-grams with the benchmark set. The per-row key is the
+    * (conv_id, turn_idx) struct, so duplicate conv ids, null ids, and
+    * original id types all pass through Decontaminate untouched — the
+    * detection itself is the dc1 machinery (map-only under the
+    * broadcast gate; never shuffles corpus text).
+    *
+    * The rule is per-turn (a turn's contamination depends only on its
+    * own text and the bench set), so unlike the census rules it would
+    * be CORRECT per bucket — it is still computed once corpus-wide by
+    * the bucketed runner so the benchmark gram set is built and
+    * gated once, not once per bucket.
+    */
+  def contaminatedTurnKeys(turns: DataFrame, bench: DataFrame,
+                           cfg: ContaminationConfig,
+                           textCol: String = "text"): DataFrame =
+    graft.ops.Decontaminate.decontaminate(
+        turns.select(struct(col("conv_id"), col("turn_idx")).as("__k"),
+          col(textCol)),
+        bench.select(col(cfg.benchTextCol).as(textCol)),
+        textCol, "__k", n = cfg.n, minMatches = cfg.minMatches,
+        maxBroadcastGrams = cfg.maxBroadcastGrams)
+      .where(col("contaminated"))
+      .select(col("__k.conv_id").as("conv_id"),
+        col("__k.turn_idx").as("turn_idx"))
+
+  /** Apply the opt-in decontamination rule to a labeled frame: flagged
+    * (conv_id, turn_idx) turns get keep=false and RuleContaminated
+    * appended to the lineage array (after boilerplate, before
+    * conv_neardup). Same join shape as [[withBoilerplate]]: the labeled
+    * side's hash(conv_id) partitioning already clusters the keys, only
+    * the small flagged side moves.
+    */
+  def withContaminated(labeled: DataFrame, droppedTurns: DataFrame): DataFrame = {
+    val flagged = droppedTurns
+      .select(col("conv_id"), col("turn_idx"), lit(true).as("__ct"))
+    labeled.join(flagged, Seq("conv_id", "turn_idx"), "left")
+      .withColumn("drop_reasons",
+        when(col("__ct"),
+          concat(col("drop_reasons"), array(lit(RuleContaminated))))
+          .otherwise(col("drop_reasons")))
+      .withColumn("keep", col("keep") && !coalesce(col("__ct"), lit(false)))
+      .drop("__ct")
   }
 
   /** Apply the opt-in boilerplate rule to a labeled frame: flagged

@@ -136,6 +136,16 @@ object RuleConfig {
   val BoilerplateMinConvs = 2
   val BoilerplateMinLen = 16
 
+  /** OPT-IN benchmark-decontamination rule (outside [[RuleOrder]] like
+    * the other corpus-level opt-ins): a turn is dropped when its text
+    * shares at least `minMatches` distinct word n-grams with a held-out
+    * evaluation set (see [[graft.ops.Decontaminate]] — the GPT-3/Llama
+    * style leakage guard). Applied after [[RuleBoilerplate]] (both are
+    * turn-level; census-style rules precede external-set rules in the
+    * lineage) and before [[RuleConvNearDup]] (conversation-level last).
+    */
+  val RuleContaminated = "contaminated"
+
   // ------------------------------------------------------------- scrubbing
 
   /** Whitespace normalization applied before everything else (C3,

@@ -234,6 +234,131 @@ class CheckpointSpec extends AnyFunSuite {
       t.drop_reasons.indexOf("conv_neardup"), s"$t"))
   }
 
+  test("opt-in IQR ppl bounds: bucketed == direct, bounds recorded in labeling.cfg") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val turns = TranscriptGen.generateLocal(60, seed = 23, skewCap = 200)
+    val ds = spark.createDataset(turns)
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[LabeledTurn].collect().sortBy(t => (t.conv_id, t.turn_idx))
+        .map(t => t.copy(drop_reasons = t.drop_reasons.toList)).toSeq
+
+    // direct: corpus-wide bounds threaded through labelScored
+    val bounds = QualityFilter.pplIqrBounds(QualityFilter.score(ds))
+    val direct = canon(QualityFilter.label(ds, skewMaxTurns = 0, Some(bounds)))
+    // the data-driven bounds actually change labels vs the fixed PplMax
+    // on this corpus (otherwise the test proves nothing)
+    val fixed = canon(QualityFilter.label(ds))
+    assert(direct != fixed, "IQR bounds must relabel at least one turn here")
+
+    val root1 = Files.createTempDirectory("graft_iqr1").toString
+    CheckpointedRun.run(ds, root1, 4, pplIqrK = Some(1.5))
+    assert(canon(CheckpointedRun.readOutput(spark, root1, 4)) == direct)
+
+    // the computed bounds land in labeling.cfg; a resume without the
+    // rule (or with a different k) fails fast
+    val cfg = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root1, "_graft", "labeling.cfg")))
+    assert(cfg.contains(s"ppl_iqr=1.5,${bounds._1},${bounds._2}"), cfg)
+    intercept[IllegalArgumentException] { CheckpointedRun.run(ds, root1, 4) }
+    intercept[IllegalArgumentException] {
+      CheckpointedRun.run(ds, root1, 4, pplIqrK = Some(3.0))
+    }
+
+    // skew-split path threads the same corpus-wide bounds
+    val root2 = Files.createTempDirectory("graft_iqr2").toString
+    CheckpointedRun.run(ds, root2, 4, skewMaxTurns = 5, pplIqrK = Some(1.5))
+    assert(canon(CheckpointedRun.readOutput(spark, root2, 4)) == direct)
+  }
+
+  test("opt-in decontamination rule: bucketed == direct, composes in lineage order") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // plant a distinctive 8-word phrase into an "eval set" and into
+    // turn 1 of every conversation whose id ends in 4 — those turns
+    // (and only those) must drop as contaminated
+    val leak = "the quick zephyr vexes the jaded dwarf mightily"
+    val base = TranscriptGen.generateLocal(40, seed = 24, skewCap = 200)
+    val turns = base.map(t =>
+      if (t.conv_id.endsWith("4") && t.turn_idx == 1)
+        t.copy(text = s"as we said before $leak and nothing else matters")
+      else t)
+    val ds = spark.createDataset(turns)
+    val benchDir = Files.createTempDirectory("graft_bench").toString
+    Seq(s"eval prompt one $leak", "eval prompt two entirely clean")
+      .toDF("text").write.mode("overwrite").parquet(benchDir)
+    val cfg = QualityFilter.ContaminationConfig(benchPath = benchDir, n = 8)
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[LabeledTurn].collect().sortBy(t => (t.conv_id, t.turn_idx))
+        .map(t => t.copy(drop_reasons = t.drop_reasons.toList)).toSeq
+
+    val direct = canon(QualityFilter.withContaminated(
+      QualityFilter.label(ds),
+      QualityFilter.contaminatedTurnKeys(ds.toDF(),
+        spark.read.parquet(benchDir), cfg)))
+    val flagged = direct.filter(_.drop_reasons.contains("contaminated"))
+      .map(t => (t.conv_id, t.turn_idx)).toSet
+    val planted = turns.filter(_.text != null)
+      .filter(_.text.contains(leak)).map(t => (t.conv_id, t.turn_idx)).toSet
+    assert(planted.size >= 2 && flagged == planted, s"flagged: $flagged")
+    assert(direct.filter(t => flagged.contains((t.conv_id, t.turn_idx)))
+      .forall(!_.keep))
+
+    // the join fallback (gate forced to 0) lands the identical key set
+    // with the struct row key — the path an oversized benchmark takes
+    val viaFallback = QualityFilter.contaminatedTurnKeys(ds.toDF(),
+        spark.read.parquet(benchDir), cfg.copy(maxBroadcastGrams = 0L))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(viaFallback == planted, s"fallback keys: $viaFallback")
+    graft.ops.Decontaminate.releaseCache()
+
+    val root1 = Files.createTempDirectory("graft_ct1").toString
+    val res1 = CheckpointedRun.run(ds, root1, 4, decontaminate = Some(cfg))
+    assert(res1.bucketsComputed == (0 until 4))
+    assert(canon(CheckpointedRun.readOutput(spark, root1, 4)) == direct)
+
+    // semantics guard: resume without the rule or with different
+    // parameters fails fast
+    intercept[IllegalArgumentException] { CheckpointedRun.run(ds, root1, 4) }
+    intercept[IllegalArgumentException] {
+      CheckpointedRun.run(ds, root1, 4,
+        decontaminate = Some(cfg.copy(minMatches = 3)))
+    }
+
+    // composed with boilerplate + conv-near-dup: clone the planted
+    // conversations so a contaminated turn can also be conv_neardup;
+    // lineage must list boilerplate < contaminated < conv_neardup
+    val clones = turns.filter(_.conv_id.endsWith("4"))
+      .map(t => t.copy(conv_id = "d" + t.conv_id))
+    val ds2 = spark.createDataset(turns ++ clones)
+    val bp = QualityFilter.BoilerplateConfig()
+    val nd = QualityFilter.ConvNearDupConfig()
+    val direct2 = canon(QualityFilter.withConvNearDup(
+      QualityFilter.withContaminated(
+        QualityFilter.withBoilerplate(
+          QualityFilter.label(ds2),
+          QualityFilter.boilerplateDropKeysRaw(ds2, bp)),
+        QualityFilter.contaminatedTurnKeys(ds2.toDF(),
+          spark.read.parquet(benchDir), cfg)),
+      QualityFilter.convNearDupDropIds(ds2.toDF(), nd)))
+    val root2 = Files.createTempDirectory("graft_ct2").toString
+    CheckpointedRun.run(ds2, root2, 4, convNearDup = Some(nd),
+      boilerplate = Some(bp), decontaminate = Some(cfg))
+    assert(canon(CheckpointedRun.readOutput(spark, root2, 4)) == direct2)
+    val both = direct2.filter(t => t.drop_reasons.contains("contaminated") &&
+      t.drop_reasons.contains("conv_neardup"))
+    assert(both.nonEmpty, "clone of a planted conv must carry both rules")
+    both.foreach { t =>
+      assert(t.drop_reasons.indexOf("contaminated") <
+        t.drop_reasons.indexOf("conv_neardup"), s"$t")
+      if (t.drop_reasons.contains("boilerplate"))
+        assert(t.drop_reasons.indexOf("boilerplate") <
+          t.drop_reasons.indexOf("contaminated"), s"$t")
+    }
+  }
+
   test("file-level stats prune a ts-range read to only the overlapping files") {
     val spark = TestSpark.spark
     import spark.implicits._
@@ -280,6 +405,14 @@ class CheckpointSpec extends AnyFunSuite {
     val viaFull = tbl.read(spark).where($"ts" >= lo && $"ts" <= hi)
       .select($"conv_id").as[String].collect().sorted.toSeq
     assert(viaPrune == viaFull && viaPrune.size == 21)
+
+    // pipeline-level surface: readOutputRange opens only the
+    // overlapping files (3 of 4 here) and applies the residual filter
+    val viaHelper = CheckpointedRun.readOutputRange(spark, root, 2, lo, hi)
+    assert(viaHelper.inputFiles.length == 3,
+      viaHelper.inputFiles.mkString(","))
+    assert(viaHelper.select($"conv_id").as[String].collect().sorted.toSeq
+      == viaFull)
 
     // an all-pruned read keeps the schema, returns zero rows
     val none = tbl.readAt(spark, tbl.currentVersion, _ => false)
