@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Sequence packing: assign documents to fixed-token-budget training
   * sequences ("bins") — the step between a cleaned corpus and a
@@ -90,5 +91,53 @@ object Packing {
         }
       }
       .toDF("doc_id", "shard", "seq_id", "n_tokens")
+  }
+
+  /** [[packNextFit]] for ids of ANY orderable type: shards by
+    * `pmod(xxhash64(id), nShards)` and passes the id through with its
+    * original type — never cast (the house convention since the
+    * decontamination id handling; an ANSI cast of string ids throws).
+    * Intra-shard order is (id, n_tokens) under the id type's native
+    * ordering, so the assignment stays a pure, run-independent function
+    * of the input. Same scale shape as [[packNextFit]]: token counts
+    * map-side, one hash exchange of (id, shard, n_tokens), one
+    * streaming O(1)-state pass. Long-keyed corpora whose oracle pins
+    * the sign-preserving `id % nShards` shard keep using
+    * [[packNextFit]]; hash sharding is the default for everything else.
+    */
+  def packNextFitByHash(docs: DataFrame, idCol: String, tokensCol: String,
+                        nShards: Int, capacity: Long): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val cap = capacity
+    val idField = docs.schema(docs.schema.fieldIndex(idCol))
+    val id = when(col(idCol).isNull,
+        raise_error(lit(s"packNextFitByHash: null $idCol — document ids must be non-null")))
+      .otherwise(col(idCol))
+    val outSchema = StructType(Seq(
+      idField.copy(name = "doc_id"),
+      StructField("shard", IntegerType, nullable = false),
+      StructField("seq_id", LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false)))
+    docs
+      .select(
+        id.as("doc_id"),
+        pmod(xxhash64(col(idCol)), lit(nShards.toLong)).cast("int").as("shard"),
+        coalesce(col(tokensCol).cast("long"), lit(0L)).as("n_tokens"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"), col("n_tokens"))
+      .mapPartitions { it =>
+        var curShard = Int.MinValue
+        var cum = 0L
+        var seq = 0L
+        it.map { r =>
+          val shard = r.getInt(1)
+          val n = r.getLong(2)
+          if (shard != curShard) { curShard = shard; seq = 0L; cum = n }
+          else if (cum + n <= cap) { cum += n }
+          else { seq += 1L; cum = n }
+          Row(r.get(0), shard, seq, n)
+        }
+      }(Encoders.row(outSchema))
   }
 }

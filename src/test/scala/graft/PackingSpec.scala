@@ -90,6 +90,80 @@ class PackingSpec extends AnyFunSuite {
       s"expected the packNextFit null-id message, got: ${messages(e).mkString(" | ")}")
   }
 
+  test("hash-sharded packing: string ids pass through, recurrence holds per shard") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val docs = (0 until 200).map(i => (f"doc$i%03d", 1L + i % 90))
+    val out = Packing.packNextFitByHash(
+        docs.toDF("doc_id", "n_tokens").repartition(5), // scrambled input
+        "doc_id", "n_tokens", nShards = 8, capacity = 128L)
+      .collect()
+    assert(out.length == 200)
+    assert(out.head.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.StringType, "id keeps its original type")
+    // shard is pmod(xxhash64(id), nShards), recomputed independently
+    val expShard = docs.toDF("doc_id", "n")
+      .select(col("doc_id"), pmod(xxhash64(col("doc_id")), lit(8L)).cast("int"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    out.foreach(r => assert(r.getInt(1) == expShard(r.getString(0)),
+      s"${r.getString(0)} shard"))
+    // walking each shard in (id, n) order reproduces every seq_id
+    out.groupBy(_.getInt(1)).foreach { case (shard, rows) =>
+      var cum = 0L; var seq = -1L
+      rows.sortBy(r => (r.getString(0), r.getLong(3))).foreach { r =>
+        val n = r.getLong(3)
+        if (seq < 0 || cum + n > 128L) { seq += 1; cum = n } else cum += n
+        assert(r.getLong(2) == seq, s"shard $shard doc ${r.getString(0)}")
+      }
+    }
+    // determinism: a differently-partitioned second run is identical
+    val out2 = Packing.packNextFitByHash(
+        docs.toDF("doc_id", "n_tokens").repartition(3),
+        "doc_id", "n_tokens", nShards = 8, capacity = 128L)
+      .collect()
+    assert(out.map(_.toSeq).toSet == out2.map(_.toSeq).toSet)
+    // null ids fail fast with the hash variant's own message
+    val bad = Seq((Option("a"), 5L), (Option.empty[String], 5L))
+      .toDF("doc_id", "n_tokens")
+    val e = intercept[Exception] {
+      Packing.packNextFitByHash(bad, "doc_id", "n_tokens", 1, 10L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("packNextFitByHash: null doc_id")))
+  }
+
+  test("packing on BPE token counts: budget measured in model tokens (pk2 shape)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox", "lazy dog dog dog lazy",
+      "quick quick brown brown fox fox", "over the lazy dog jumps the fox",
+      "a b c d e f g h", "the the the the", "fox")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val model = graft.lm.Bpe.train(docs, "text", numMerges = 16)
+    val counts = graft.lm.Bpe.tokenCounts(docs, "doc_id", "text", model)
+    val out = Packing.packNextFit(counts, "doc_id", "n_tokens",
+        nShards = 2, capacity = 12L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    // n_tokens in the packed output IS the model count, per doc
+    val cache = scala.collection.mutable.HashMap.empty[String, Int]
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(out(i.toLong)._3 == model.countTokens(t, cache),
+        s"doc $i model-count parity")
+    }
+    // and the assignment matches the reference walk over those counts
+    val ref = refPack(texts.zipWithIndex.map { case (t, i) =>
+      i.toLong -> model.countTokens(t, cache) }, nShards = 2, cap = 12L)
+    out.foreach { case (id, (shard, seq, _)) =>
+      assert((shard, seq) == ref(id), s"doc $id assignment")
+    }
+  }
+
   test("null token counts pack as zero-width") {
     val spark = TestSpark.spark
     import spark.implicits._
