@@ -74,11 +74,7 @@ object SparkEntry {
             h.isPresent && h.get().isAlive
           }.getOrElse(true) // can't tell → assume alive, keep the root
           if (!alive) {
-            def rm(x: java.io.File): Unit = {
-              Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
-              x.delete(); ()
-            }
-            rm(f)
+            graft.io.SnapshotTable.deleteTree(f)
           }
         }
       }
@@ -105,10 +101,6 @@ object SparkEntry {
     // must see missing seams (readSeam fails fast per query) — never
     // stale bytes from a previous run that would compare green against
     // equally-stale oracle reads (pid reuse, pinned GRAFT_SEAM_DIR)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
-    }
     val root = new java.io.File(seamRoot)
     // a CUSTOM root (GRAFT_SEAM_DIR) is only recursively deleted when it
     // is empty or carries the marker a previous fixture run left —
@@ -127,7 +119,7 @@ object SparkEntry {
           "recursively delete it; point GRAFT_SEAM_DIR at an empty or " +
           "graft-owned directory")
     }
-    rm(root)
+    graft.io.SnapshotTable.deleteTree(root)
     java.nio.file.Files.createDirectories(root.toPath)
     java.nio.file.Files.write(root.toPath.resolve(SeamMarker), Array.empty[Byte])
     // flagship scored-turn seam — qf1/qf1b/qf2 oracles re-derive the
@@ -1350,14 +1342,18 @@ object SparkEntry {
       // the production banding's recall bound (16 bands × 4 rows — the
       // ConvNearDupConfig default after the round-6 s-curve tune): the
       // emitted pair list is the cd3_pairs seam (written by prepareSeams
-      // with exactly the production parameters); DuckDB re-verifies
-      // every pair against brute-force conversation jaccard (precision
-      // + value) and bounds recall at ≥ 0.9, the dd2c pattern. The
-      // booleans are the PREDICTED values the oracle must reproduce.
+      // with exactly the production parameters); DuckDB re-verifies it
+      // against brute-force conversation jaccard — every emitted pair
+      // must be a true pair (precision) and recall must be ≥ 0.9. ONE
+      // summary row, emitted even when the pair list is empty: a
+      // per-pair listing would return zero rows on a total recall
+      // collapse and the compare would vacuously pass (the dd2c-pattern
+      // hole, closed here). The values are the PREDICTED ones the
+      // oracle must reproduce; n_pairs also pins the emitted count.
       readSeam(s, "cd3_pairs")
-        .select(col("id_a"), col("id_b"), col("jaccard"),
-          lit(true).as("in_brute"), lit(true).as("recall_ok"))
-        .orderBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(col("n_pairs"),
+          lit(true).as("all_in_brute"), lit(true).as("recall_ok"))
     }),
 
     "lm1_trigram_counts" -> ((s, dir) => {
@@ -2534,20 +2530,23 @@ object SparkEntry {
     // recall at 32 bands covers every ≥-threshold pair on this corpus)
     "cd2_conversation_neardup_nosort" -> convNearDupBruteSql,
 
-    // the production 16×4 banding re-verified pairwise against brute
-    // force, with the corpus-level recall bound (the dd2c pattern at
-    // conversation granularity)
+    // the production 16×4 banding re-verified against brute force as a
+    // single always-emitted summary row: precision (every emitted pair
+    // in brute), the corpus recall bound, and the emitted count — so an
+    // empty pair list FAILS against n_brute > 0 instead of vacuously
+    // matching zero rows
     "cd3_conv_lsh_recall" ->
       s"""WITH ${convBruteCtes("")},
          b AS (SELECT id_a, id_b, j FROM p WHERE j >= ${QualityFilter.ConvNearDupConfig().threshold}),
          e AS (SELECT id_a, id_b FROM '${oracleSeamGlob("cd3_pairs")}'),
+         j AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                 coalesce(bool_and(b.id_a IS NOT NULL), true) AS all_in_brute
+               FROM e LEFT JOIN b ON e.id_a = b.id_a AND e.id_b = b.id_b),
          hit AS (SELECT count(*) AS n_hit FROM e JOIN b ON e.id_a = b.id_a AND e.id_b = b.id_b),
          nb AS (SELECT count(*) AS n_brute FROM b)
-         SELECT e.id_a, e.id_b, round(b.j, 6) AS jaccard,
-           (b.id_a IS NOT NULL) AS in_brute,
+         SELECT j.n_pairs, j.all_in_brute,
            ((SELECT n_hit FROM hit) >= 0.9 * (SELECT n_brute FROM nb)) AS recall_ok
-         FROM e LEFT JOIN b ON e.id_a = b.id_a AND e.id_b = b.id_b
-         ORDER BY e.id_a, e.id_b""",
+         FROM j""",
 
     "lm1_trigram_counts" ->
       """WITH d AS (SELECT regexp_replace(regexp_replace(regexp_replace(

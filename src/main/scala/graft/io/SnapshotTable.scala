@@ -289,6 +289,16 @@ object SnapshotTable {
   def apply(root: String, nBuckets: Int): SnapshotTable =
     new SnapshotTable(root, nBuckets)
 
+  /** Recursive delete (ignores failures — best-effort temp cleanup).
+    * The single shared copy: seam roots, soak corpora, and drill roots
+    * all clean up through this, so a behavior change (e.g. symlink
+    * handling) lands once.
+    */
+  private[graft] def deleteTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
+    f.delete(); ()
+  }
+
   private val mapper = new ObjectMapper()
 
   /** Column min/max over a file's non-null values. String bounds

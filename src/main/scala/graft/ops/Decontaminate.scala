@@ -125,6 +125,20 @@ object Decontaminate {
       .distinct()
   }
 
+  /** Order-independent fingerprint of the benchmark's distinct gram
+    * set: (gram count, XOR of the 64-bit gram fingerprints). Resume
+    * guards record it next to the settings — a bench directory whose
+    * CONTENT changed under a checkpointed table must fail the guard
+    * even though its path string still matches (the same hazard the
+    * ppl_iqr guard closes by recording computed bounds). One cheap
+    * pass over the (small) bench set; deterministic.
+    */
+  def benchFingerprint(bench: DataFrame, textCol: String, n: Int): (Long, Long) = {
+    val row = benchGramSet(bench, textCol, n).toDF("h")
+      .agg(count(lit(1)).cast("long"), expr("bit_xor(h)")).head()
+    (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+  }
+
   /** Per-corpus-document contamination report:
     * `(idCol, n_matched: bigint, contaminated: boolean)` — one row per
     * corpus row, including clean ones (`n_matched = 0`), so the output

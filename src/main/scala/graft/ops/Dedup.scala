@@ -224,9 +224,9 @@ object Dedup {
     // The default is now b=16, r=4 (same 64 hashes): recall at the 0.7
     // verify threshold stays ≈ 1-(1-0.24)^16 ≈ 0.99 (and ≈ 1 for the
     // high-jaccard pairs near-dup rules exist for) while the s=0.2
-    // collision rate drops to 1-(1-0.0016)^16 ≈ 2.5% — a ~30×
-    // candidate reduction for free (re-measured on the same soak:
-    // see SCALE.md). A signature-estimate prefilter (join the 64-long
+    // collision rate drops to 1-(1-0.0016)^16 ≈ 2.5% — measured 387×
+    // fewer candidates at identical recall on the soak corpus
+    // (SCALE.md's banding table). A signature-estimate prefilter (join the 64-long
     // combined sigs back to the pairs, keep fraction-equal ≥
     // threshold-5σ) was tried and REVERTED before the re-banding: on
     // short conversations the 512 B signature per pair side costs MORE

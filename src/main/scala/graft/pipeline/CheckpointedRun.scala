@@ -60,6 +60,16 @@ object CheckpointedRun {
     val pplBounds: Option[(Double, Double)] =
       pplIqrK.map(k => QualityFilter.pplIqrBounds(QualityFilter.score(input), k))
 
+    // opt-in decontamination: fingerprint the bench gram set up front —
+    // the guard below records CONTENT (count + xor of gram hashes), not
+    // just the path, so an eval set rewritten under the table between
+    // runs fails the resume instead of silently mixing label semantics
+    // per bucket (the same reason ppl_iqr records its computed bounds).
+    val ctFingerprint: Option[(Long, Long)] = decontaminate.map { d =>
+      graft.ops.Decontaminate.benchFingerprint(
+        input.sparkSession.read.parquet(d.benchPath), d.benchTextCol, d.n)
+    }
+
     // LABEL-SEMANTICS guard: every opt-in (conv-near-dup, boilerplate,
     // IQR ppl bounds, decontamination) changes what the committed
     // labels MEAN, so a resume must run with the same settings the
@@ -88,12 +98,13 @@ object CheckpointedRun {
         // the table) must fail the guard, not silently relabel
         case (Some(k), Some((lo, hi))) => s"\nppl_iqr=$k,$lo,$hi"
         case _ => ""
-      }) + (decontaminate match {
-        case Some(d) =>
+      }) + ((decontaminate, ctFingerprint) match {
+        case (Some(d), Some((nGrams, xorSig))) =>
           require(!d.benchPath.contains("\n"),
             "decontamination bench path must not contain newlines (labeling.cfg is line-oriented)")
-          s"\ndecontaminate=${d.n},${d.minMatches},${d.benchTextCol},${d.benchPath}"
-        case None => ""
+          s"\ndecontaminate=${d.n},${d.minMatches},${d.benchTextCol}," +
+            s"$nGrams:${java.lang.Long.toHexString(xorSig)},${d.benchPath}"
+        case _ => ""
       })
       if (java.nio.file.Files.exists(cfgFile)) {
         val prior = new String(java.nio.file.Files.readAllBytes(cfgFile), UTF_8).trim

@@ -308,8 +308,13 @@ object QualityFilter {
     * the small flagged side moves.
     */
   def withContaminated(labeled: DataFrame, droppedTurns: DataFrame): DataFrame = {
+    // distinct: contaminatedTurnKeys emits one row per corpus ROW (the
+    // Decontaminate contract), so duplicate (conv_id, turn_idx) inputs
+    // would otherwise multiply labeled rows through the join — the
+    // flag is set membership, and the flagged side is small
     val flagged = droppedTurns
-      .select(col("conv_id"), col("turn_idx"), lit(true).as("__ct"))
+      .select(col("conv_id"), col("turn_idx")).distinct()
+      .withColumn("__ct", lit(true))
     labeled.join(flagged, Seq("conv_id", "turn_idx"), "left")
       .withColumn("drop_reasons",
         when(col("__ct"),
@@ -329,8 +334,11 @@ object QualityFilter {
     * only the small flagged side moves.
     */
   def withBoilerplate(labeled: DataFrame, droppedTurns: DataFrame): DataFrame = {
+    // distinct for the same reason as withContaminated: the flag is
+    // set membership, never a row multiplier under duplicate keys
     val flagged = droppedTurns
-      .select(col("conv_id"), col("turn_idx"), lit(true).as("__bp"))
+      .select(col("conv_id"), col("turn_idx")).distinct()
+      .withColumn("__bp", lit(true))
     labeled.join(flagged, Seq("conv_id", "turn_idx"), "left")
       .withColumn("drop_reasons",
         when(col("__bp"),

@@ -149,11 +149,7 @@ object Soak {
     println(
       s"""{"crash_drill":{"turns":$n,"buckets":$nBuckets,"crash_bucket":$crashBucket,"child_exit":$rc,"data_committed_at_crash":${dataDone.toSeq.sorted.mkString("[", ",", "]")},"lineage_committed_at_crash":${lineageDone.toSeq.sorted.mkString("[", ",", "]")},"resumed_buckets":${res.bucketsComputed.mkString("[", ",", "]")},"skipped_buckets":${res.bucketsSkipped.mkString("[", ",", "]")},"output_matches_reference":true,"checksum":"$sum"}}""")
     // drills otherwise leak a ~100k-turn corpus per invocation in /tmp
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(root))
+    graft.io.SnapshotTable.deleteTree(new java.io.File(root))
     spark.stop()
   }
 
