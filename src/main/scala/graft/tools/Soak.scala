@@ -164,18 +164,23 @@ object Soak {
     val skewCap = args.lift(1).map(_.toInt).getOrElse(200000)
     val skewMaxTurns = args.lift(2).map(_.toInt).getOrElse(50000)
     val nBuckets = args.lift(3).map(_.toInt).getOrElse(8)
-    // "optins" turns on BOTH opt-in rules (conv near-dup + boilerplate);
-    // "bp" / "cnd" turn on just one, separating their soak cost. The
-    // generator's finite phrase pools make the boilerplate census flag
-    // heavily — a deliberate stress of the flagged-side join at the far
-    // end of its envelope
+    // "optins" turns on the two census opt-ins (conv near-dup +
+    // boilerplate); "bp" / "cnd" / "iqr" / "dc" turn on exactly one,
+    // separating each rule's soak cost; "all" runs all FOUR opt-ins
+    // together (the maximal pipeline configuration — for "dc"/"all" a
+    // deterministic eval set is synthesized from the corpus below).
+    // The generator's finite phrase pools make the boilerplate census
+    // flag heavily — a deliberate stress of the flagged-side join at
+    // the far end of its envelope
     val optArg = args.lift(4)
     // fail fast on typos: a silently-ignored arg would emit a soak
     // record labeled with a rule that never ran
-    require(optArg.forall(Set("optins", "bp", "cnd")),
-      s"arg 5 must be optins|bp|cnd, got ${optArg.get}")
-    val withBp = optArg.exists(a => a == "optins" || a == "bp")
-    val withCnd = optArg.exists(a => a == "optins" || a == "cnd")
+    require(optArg.forall(Set("optins", "bp", "cnd", "iqr", "dc", "all")),
+      s"arg 5 must be optins|bp|cnd|iqr|dc|all, got ${optArg.get}")
+    val withBp = optArg.exists(a => a == "optins" || a == "bp" || a == "all")
+    val withCnd = optArg.exists(a => a == "optins" || a == "cnd" || a == "all")
+    val withIqr = optArg.exists(a => a == "iqr" || a == "all")
+    val withDc = optArg.exists(a => a == "dc" || a == "all")
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SOAK_MASTER", "local[32]"))
@@ -198,13 +203,29 @@ object Soak {
 
     val input = spark.read.schema(graft.schema.Turn.schema)
       .parquet(s"$corpus/turns").as[graft.schema.Turn]
+
+    // synthesized eval set for the decontamination soak: every turn of
+    // conversations whose id hashes to bucket 0 of 997 — deterministic,
+    // ~0.1% of the corpus, realistic bench-to-corpus size ratio. The
+    // gram-set build, the labeling.cfg fingerprint, and the broadcast
+    // gate all exercise the real code path.
+    val dcConfig = if (!withDc) None else {
+      val benchDir = s"$corpus/bench"
+      input.toDF().where(pmod(xxhash64(col("conv_id")), lit(997L)) === 0L)
+        .select(col("text")).write.parquet(benchDir)
+      Some(graft.pipeline.QualityFilter.ContaminationConfig(
+        benchPath = benchDir, n = 8, minMatches = 1))
+    }
+
     val t1 = System.nanoTime()
     val res = CheckpointedRun.run(input, outRoot, nBuckets,
       metricsRoot = Some(metricsRoot), skewMaxTurns = skewMaxTurns,
       convNearDup =
         if (withCnd) Some(graft.pipeline.QualityFilter.ConvNearDupConfig()) else None,
       boilerplate =
-        if (withBp) Some(graft.pipeline.QualityFilter.BoilerplateConfig()) else None)
+        if (withBp) Some(graft.pipeline.QualityFilter.BoilerplateConfig()) else None,
+      pplIqrK = if (withIqr) Some(graft.rules.RuleConfig.PplIqrK) else None,
+      decontaminate = dcConfig)
     val runSecs = (System.nanoTime() - t1) / 1e9
 
     val out = CheckpointedRun.readOutput(spark, outRoot, nBuckets)
@@ -212,14 +233,19 @@ object Soak {
       sum(when(array_contains(col("drop_reasons"),
         graft.rules.RuleConfig.RuleBoilerplate), 1L).otherwise(0L)),
       sum(when(array_contains(col("drop_reasons"),
-        graft.rules.RuleConfig.RuleConvNearDup), 1L).otherwise(0L))
+        graft.rules.RuleConfig.RuleConvNearDup), 1L).otherwise(0L)),
+      sum(when(array_contains(col("drop_reasons"),
+        graft.rules.RuleConfig.RuleContaminated), 1L).otherwise(0L)),
+      sum(when(array_contains(col("drop_reasons"),
+        graft.rules.RuleConfig.RulePpl), 1L).otherwise(0L))
     ).head()
     val (n, kept) = (row.getLong(0), row.getLong(1))
     val (bp, cnd) = (row.getLong(2), row.getLong(3))
+    val (ct, ppl) = (row.getLong(4), row.getLong(5))
     val maxConv = input.groupBy($"conv_id").count().agg(max("count")).head().getLong(0)
     val lineage = spark.read.parquet(s"$metricsRoot/rule_lineage/data/bucket=0")
     println(
-      f"""{"soak":{"turns":$n,"kept":$kept,"max_conv_turns":$maxConv,"buckets":${res.bucketsComputed.size},"gen_secs":$genSecs%.1f,"pipeline_secs":$runSecs%.1f,"turns_per_sec":${n / runSecs}%.0f,"lineage_rules":${lineage.count()},"optins":"${optArg.getOrElse("off")}","boilerplate_dropped":$bp,"conv_neardup_dropped":$cnd}}""")
+      f"""{"soak":{"turns":$n,"kept":$kept,"max_conv_turns":$maxConv,"buckets":${res.bucketsComputed.size},"gen_secs":$genSecs%.1f,"pipeline_secs":$runSecs%.1f,"turns_per_sec":${n / runSecs}%.0f,"lineage_rules":${lineage.count()},"optins":"${optArg.getOrElse("off")}","boilerplate_dropped":$bp,"conv_neardup_dropped":$cnd,"contaminated_dropped":$ct,"perplexity_dropped":$ppl}}""")
     spark.stop()
   }
 }
