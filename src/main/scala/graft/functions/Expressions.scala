@@ -88,13 +88,16 @@ object GraftExpressions {
   def scrubAll(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
     val raw = if (s == null) null else s.toString
     val norm = graft.scrub.Scrub.normalizeWsPlain(raw)
-    val (scrubbed, counts) = graft.scrub.Scrub.scrubPlain(norm)
-    val out = new Array[Any](1 + graft.rules.RuleConfig.ScrubChain.size)
-    out(0) = if (scrubbed == null) null else UTF8String.fromString(scrubbed)
-    var i = 1
-    graft.rules.RuleConfig.ScrubChain.foreach { case (rule, _, _) =>
-      out(i) = counts(rule); i += 1
-    }
+    val (scrubbed, counts) = graft.scrub.Scrub.scrubPlainArray(norm)
+    val out = new Array[Any](1 + counts.length)
+    // text untouched by normalize + scrub (the common case): pass the
+    // input UTF8String through instead of re-encoding the same bytes
+    out(0) =
+      if (scrubbed == null) null
+      else if (scrubbed eq raw) s
+      else UTF8String.fromString(scrubbed)
+    var i = 0
+    while (i < counts.length) { out(i + 1) = counts(i); i += 1 }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
   }
 

@@ -13,6 +13,61 @@ import scala.collection.mutable
   */
 object TextAlgos {
 
+  /** Open-addressing set of longs for distinct-counting in the per-row
+    * hot loops ([[turnMetrics]], [[distinctNgramFraction]]): the
+    * java.util.HashSet[Long] it replaces boxed one Long per inserted
+    * gram (an allocation per char of every pipeline row). Semantics are
+    * plain distinct membership — identical results by construction.
+    * Zero is handled via a flag (0 marks empty slots); keys are spread
+    * with mix64 (packed-char keys have low entropy in the low bits).
+    */
+  private final class LongDistinctSet(expected: Int) {
+    private var cap = {
+      var c = 16
+      val target = math.min(math.max(expected, 8) * 2, 1 << 17)
+      while (c < target) c <<= 1
+      c
+    }
+    private var mask = cap - 1
+    private var keys = new Array[Long](cap)
+    private var used = 0
+    private var hasZero = false
+
+    def add(k: Long): Boolean = {
+      if (k == 0L) {
+        if (hasZero) false else { hasZero = true; true }
+      } else {
+        var i = (mix64(k) & mask).toInt
+        var st = keys(i)
+        while (st != 0L && st != k) { i = (i + 1) & mask; st = keys(i) }
+        if (st == k) false
+        else {
+          keys(i) = k
+          used += 1
+          if (used * 4 > cap * 3) grow()
+          true
+        }
+      }
+    }
+
+    private def grow(): Unit = {
+      val old = keys
+      cap <<= 1
+      mask = cap - 1
+      keys = new Array[Long](cap)
+      var i = 0
+      while (i < old.length) {
+        val k = old(i)
+        if (k != 0L) {
+          var j = (mix64(k) & mask).toInt
+          while (keys(j) != 0L) j = (j + 1) & mask
+          keys(j) = k
+        }
+        i += 1
+      }
+    }
+  }
+
   /** Fraction of distinct char n-grams among all char n-grams of `s`
     * (lowercased by the caller if wanted). Returns 1.0 when there are
     * fewer than 2 grams (nothing to repeat).
@@ -23,7 +78,7 @@ object TextAlgos {
     if (total < 2) return 1.0
     // hash-set over 64-bit gram fingerprints; collision probability is
     // negligible and identical on every path (deterministic hashing).
-    val seen = new java.util.HashSet[Long](math.min(total, 1 << 16))
+    val seen = new LongDistinctSet(math.min(total, 1 << 16))
     var i = 0
     var distinct = 0
     while (i < total) {
@@ -343,7 +398,7 @@ object TextAlgos {
     var sym = 0
     var h = 0xcbf29ce484222325L
     val total = len - order + 1
-    val seen = if (total >= 2) new java.util.HashSet[Long](math.min(total, 1 << 16)) else null
+    val seen = if (total >= 2) new LongDistinctSet(math.min(total, 1 << 16)) else null
     var distinct = 0
     var rolling = 0L // last `order` lowercased chars packed 16 bits each
     val mask = (1L << (16 * order)) - 1

@@ -15,9 +15,13 @@ import graft.rules.RuleConfig
   *  - [[scrubCol]]: Catalyst columns (`regexp_replace`/`regexp_count`,
   *    literal patterns → the java.util.regex Pattern is compiled once
   *    per task by codegen, satisfying "compiled once per partition").
-  *  - [[scrubPlain]]: sequential java.util.regex, used by the golden
-  *    oracle. Spark's regexp_* are java.util.regex underneath, so the
-  *    two are dialect-identical by construction.
+  *  - [[scrubPlain]]/[[scrubPlainArray]]: sequential java.util.regex,
+  *    used by the golden oracle AND (via ScrubAllExpr) the flagship
+  *    pipeline's fused projection. The hot path gates each regex with a
+  *    cheap single-pass necessary-condition scan (see [[gateMask]]) —
+  *    the regexes themselves, their order, and their replacement
+  *    semantics are untouched, so results are bit-identical to the
+  *    ungated chain (ScrubPropertySpec runs the differential).
   *
   * Reference ancestry: correction chain order api.py:812-906; email
   * null-out + lowercase utils.py:1481-1486; trim/collapse C3
@@ -28,18 +32,61 @@ object Scrub {
   /** Whitespace normalization: collapse all whitespace runs to a single
     * space, then strip the (single possible) leading/trailing space.
     * Applied before the PII chain and before every text-quality rule.
-    * Both paths use the same two regexes — String.trim would strip
-    * non-\s control chars (< U+0020) that Spark's trim() keeps.
+    * The column path uses the same two regexes as always — String.trim
+    * would strip non-\s control chars (< U+0020) that Spark's trim()
+    * keeps.
     */
   def normalizeWsCol(c: Column): Column =
     regexp_replace(regexp_replace(c, RuleConfig.WhitespaceRe, " "), "^ | $", "")
 
-  private val wsPat = Pattern.compile(RuleConfig.WhitespaceRe)
-  private val edgePat = Pattern.compile("^ | $")
+  /** Java regex `\s` is exactly [ \t\n\x0B\f\r] (ASCII-only without
+    * UNICODE_CHARACTER_CLASS); \t..\r are the contiguous block
+    * 0x09..0x0D. The plain path below depends on this equivalence
+    * (asserted against the regex pair in ScrubPropertySpec).
+    */
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || (c >= '\t' && c <= '\r')
 
-  def normalizeWsPlain(s: String): String =
-    if (s == null) null
-    else edgePat.matcher(wsPat.matcher(s).replaceAll(" ")).replaceAll("")
+  /** Hand-rolled equivalent of
+    * `replaceAll("\\s+", " ").replaceAll("^ | $", "")` — this runs
+    * twice per pipeline row (score stage + scrub projection), and the
+    * two java.util.regex passes (Matcher + StringBuffer allocations per
+    * call) were a measured ~10% of the whole pipeline. Fast path: a
+    * string with no collapsible/strippable whitespace is returned
+    * as-is, unallocated.
+    */
+  def normalizeWsPlain(s: String): String = {
+    if (s == null) return null
+    val len = s.length
+    var i = 0
+    var needsWork = false
+    while (i < len && !needsWork) {
+      val c = s.charAt(i)
+      if (c == ' ') {
+        if (i == 0 || i == len - 1 || isWs(s.charAt(i + 1))) needsWork = true
+      } else if (c >= '\t' && c <= '\r') needsWork = true
+      i += 1
+    }
+    if (!needsWork) return s
+    // collapse runs to one space; drop leading/trailing runs entirely
+    // (a leading/trailing run collapses to the one space the edge regex
+    // then removes)
+    val sb = new java.lang.StringBuilder(len)
+    var pendingSpace = false
+    var started = false
+    var j = 0
+    while (j < len) {
+      val c = s.charAt(j)
+      if (isWs(c)) { if (started) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+        started = true
+      }
+      j += 1
+    }
+    sb.toString
+  }
 
   /** Column-side chain. Returns (scrubbed_text, scrub_counts) where the
     * count for each rule is the number of matches in the text state at
@@ -61,32 +108,149 @@ object Scrub {
     (cur, mapCol)
   }
 
-  // Compiled once per JVM; shared by oracle + tests.
-  private val compiled: Seq[(String, Pattern, String)] =
-    RuleConfig.ScrubChain.map { case (rule, p, repl) =>
-      (rule, Pattern.compile(p), repl)
-    }
+  // Compiled once per JVM; shared by oracle + tests. Arrays for the
+  // hot path (index-aligned with RuleConfig.ScrubChain).
+  private val chainRules: Array[String] = RuleConfig.ScrubChain.map(_._1).toArray
+  private val chainPats: Array[Pattern] =
+    RuleConfig.ScrubChain.map { case (_, p, _) => Pattern.compile(p) }.toArray
+  private val chainRepls: Array[String] = RuleConfig.ScrubChain.map(_._3).toArray
+  private val GateEmail = chainRules.indexOf(RuleConfig.ScrubEmail)
+  private val GateKey = chainRules.indexOf(RuleConfig.ScrubKey)
+  private val GatePhone = chainRules.indexOf(RuleConfig.ScrubPhone)
+  private val GateSlur = chainRules.indexOf(RuleConfig.ScrubSlur)
+  private val slurToks: Array[String] =
+    RuleConfig.SlurTokens.map(_.toLowerCase(java.util.Locale.ROOT)).toArray
 
-  /** Sequential chain (golden oracle). */
-  def scrubPlain(normText: String): (String, Map[String, Int]) = {
-    if (normText == null) {
-      return (null, RuleConfig.ScrubChain.map { case (r, _, _) => r -> 0 }.toMap)
+  @inline private def asciiLower(c: Char): Char =
+    if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+
+  /** ASCII-case-insensitive literal match at position i — exactly the
+    * `(?i)` flag's semantics for ASCII letters (Java `(?i)` without
+    * UNICODE_CASE folds ASCII only, so e.g. the Kelvin sign U+212A does
+    * NOT match 'k' — and neither does it here).
+    */
+  private def matchesCI(s: String, i: Int, tok: String): Boolean = {
+    if (i + tok.length > s.length) return false
+    var j = 0
+    while (j < tok.length) {
+      if (asciiLower(s.charAt(i + j)) != tok.charAt(j)) return false
+      j += 1
     }
-    var cur = normText
-    val counts = compiled.map { case (rule, pat, repl) =>
-      val m = pat.matcher(cur)
-      var n = 0
-      val sb = new java.lang.StringBuilder
-      var last = 0
-      while (m.find()) {
-        n += 1
-        sb.append(cur, last, m.start()).append(repl)
-        last = m.end()
+    true
+  }
+
+  /** One cheap pass computing, per scrub rule, a NECESSARY condition
+    * for its regex to match anywhere in `s`:
+    *  - email  — contains '@' (the pattern has a literal '@');
+    *  - key    — contains "sk-" / "AKIA" / "ghp_" / "xox" or a run of
+    *             ≥32 hex chars (the pattern is that 5-way alternation);
+    *  - phone  — contains ≥2 digit chars (the pattern starts and ends
+    *             with [0-9]);
+    *  - slur   — contains a slur token ASCII-case-insensitively (the
+    *             \b boundaries only restrict further).
+    * A cleared gate bit proves count 0 / no replacement without running
+    * the regex (~85% of rows clear email/key/slur). The mask stays
+    * valid for every later link of the chain even after an earlier rule
+    * replaced text: replacement tokens (<EMAIL> etc.) contain no '@',
+    * digit, or slur substring, and their '<'/'>' break any hex run or
+    * key prefix that could otherwise form across a splice — all
+    * characters of a later match therefore already existed in `s`
+    * (differential-tested against the ungated chain in
+    * ScrubPropertySpec).
+    */
+  private def gateMask(s: String): Int = {
+    val len = s.length
+    var hasAt = false
+    var digits = 0
+    var hexRun = 0
+    var keyHit = false
+    var slurHit = false
+    var i = 0
+    while (i < len) {
+      val c = s.charAt(i)
+      if (c == '@') hasAt = true
+      val isDigit = c >= '0' && c <= '9'
+      if (isDigit) digits += 1
+      if (isDigit || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')) {
+        hexRun += 1
+        if (hexRun >= 32) keyHit = true
+      } else hexRun = 0
+      if (!keyHit) {
+        if (c == 's') {
+          if (i + 2 < len && s.charAt(i + 1) == 'k' && s.charAt(i + 2) == '-') keyHit = true
+        } else if (c == 'A') {
+          if (i + 3 < len && s.charAt(i + 1) == 'K' && s.charAt(i + 2) == 'I' &&
+            s.charAt(i + 3) == 'A') keyHit = true
+        } else if (c == 'g') {
+          if (i + 3 < len && s.charAt(i + 1) == 'h' && s.charAt(i + 2) == 'p' &&
+            s.charAt(i + 3) == '_') keyHit = true
+        } else if (c == 'x') {
+          if (i + 2 < len && s.charAt(i + 1) == 'o' && s.charAt(i + 2) == 'x') keyHit = true
+        }
       }
-      sb.append(cur, last, cur.length)
-      cur = sb.toString
-      rule -> n
+      if (!slurHit) {
+        val lc = asciiLower(c)
+        if (lc == 'f' || lc == 's' || lc == 'g') {
+          var t = 0
+          while (!slurHit && t < slurToks.length) {
+            val tok = slurToks(t)
+            if (tok.charAt(0) == lc && matchesCI(s, i, tok)) slurHit = true
+            t += 1
+          }
+        }
+      }
+      i += 1
     }
-    (cur, counts.toMap)
+    var mask = 0
+    if (hasAt) mask |= 1 << GateEmail
+    if (keyHit) mask |= 1 << GateKey
+    if (digits >= 2) mask |= 1 << GatePhone
+    if (slurHit) mask |= 1 << GateSlur
+    mask
+  }
+
+  /** Sequential chain, counts index-aligned with RuleConfig.ScrubChain
+    * — the pipeline hot path (ScrubAllExpr): no Map/tuple/StringBuilder
+    * allocation unless a rule actually fires.
+    */
+  def scrubPlainArray(normText: String): (String, Array[Int]) = {
+    val k = chainPats.length
+    val counts = new Array[Int](k)
+    if (normText == null) return (null, counts)
+    val gates = gateMask(normText)
+    var cur = normText
+    var r = 0
+    while (r < k) {
+      if ((gates & (1 << r)) != 0) {
+        val m = chainPats(r).matcher(cur)
+        if (m.find()) {
+          val repl = chainRepls(r)
+          val sb = new java.lang.StringBuilder(cur.length)
+          var last = 0
+          var n = 0
+          do {
+            n += 1
+            sb.append(cur, last, m.start()).append(repl)
+            last = m.end()
+          } while (m.find())
+          sb.append(cur, last, cur.length)
+          cur = sb.toString
+          counts(r) = n
+        }
+      }
+      r += 1
+    }
+    (cur, counts)
+  }
+
+  /** Sequential chain (golden oracle) — Map-shaped view of
+    * [[scrubPlainArray]].
+    */
+  def scrubPlain(normText: String): (String, Map[String, Int]) = {
+    val (cur, counts) = scrubPlainArray(normText)
+    var m = Map.empty[String, Int]
+    var i = 0
+    while (i < chainRules.length) { m = m.updated(chainRules(i), counts(i)); i += 1 }
+    (cur, m)
   }
 }
