@@ -101,6 +101,29 @@ object GraftExpressions {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
   }
 
+  /** Whitespace-normalize + fused model scoring (language-ID +
+    * perplexity over the dense union tables) + per-turn text metrics in
+    * ONE pass — the score stage as a codegen expression instead of a
+    * mapPartitions object pass: no Turn/ScoredTurn (de)serialization,
+    * and the scan → projection → exchange pipeline stays inside
+    * whole-stage codegen. Calls exactly the functions the object pass
+    * called (Scrub.normalizeWsPlain, TurnScorer.score,
+    * TextAlgos.turnMetrics), so every produced value is bit-identical.
+    * Returns struct<lang, lang_conf, ppl, norm_len, norm_hash,
+    * is_empty, sym_density, rep_ratio>.
+    */
+  def scoreAll(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val raw = if (s == null) null else s.toString
+    val norm = graft.scrub.Scrub.normalizeWsPlain(raw)
+    val isEmpty = raw == null || graft.rules.RuleConfig.Sentinels.contains(norm)
+    val (lang, conf, ppl) = graft.lm.TurnScorer.default.score(norm)
+    val (symD, hash, rep) =
+      TextAlgos.turnMetrics(norm, graft.rules.RuleConfig.RepetitionOrder)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      UTF8String.fromString(lang), conf, ppl,
+      if (norm == null) 0 else norm.length, hash, isEmpty, symD, rep))
+  }
+
   // ------------------------------------------------------- Column API
 
   def repetition_ratio(c: Column, n: Int = 3): Column =
@@ -125,6 +148,9 @@ object GraftExpressions {
 
   def scrub_all(c: Column): Column =
     ExpressionUtils.column(ScrubAllExpr(ExpressionUtils.expression(c)))
+
+  def score_all(c: Column): Column =
+    ExpressionUtils.column(ScoreAllExpr(ExpressionUtils.expression(c)))
 
   def min_hash_sig(c: Column, numHashes: Int, k: Int): Column =
     ExpressionUtils.column(MinHashSigExpr(ExpressionUtils.expression(c), numHashes, k))
@@ -191,6 +217,43 @@ object ScrubAllExpr {
       RuleConfig.ScrubChain.map { case (rule, _, _) =>
         StructField(s"c_$rule", IntegerType, nullable = false)
       })
+}
+
+/** Fused normalize + model scoring + text metrics (see
+  * GraftExpressions.scoreAll). Never null (null text scores as the
+  * empty turn, exactly like the object pass did).
+  */
+case class ScoreAllExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ScoreAllExpr.schema
+  override def nullable: Boolean = false
+  override def nullIntolerant: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    GraftExpressions.scoreAll(child.eval(input).asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        InternalRow ${ev.value} = graft.functions.GraftExpressions.scoreAll(
+          ${c.isNull} ? null : ${c.value});
+        boolean ${ev.isNull} = false;
+      """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): ScoreAllExpr =
+    copy(child = newChild)
+}
+
+object ScoreAllExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("lang", StringType, nullable = false),
+    StructField("lang_conf", DoubleType, nullable = false),
+    StructField("ppl", DoubleType, nullable = false),
+    StructField("norm_len", IntegerType, nullable = false),
+    StructField("norm_hash", LongType, nullable = false),
+    StructField("is_empty", BooleanType, nullable = false),
+    StructField("sym_density", DoubleType, nullable = false),
+    StructField("rep_ratio", DoubleType, nullable = false)))
 }
 
 /** Distinct-fraction of char n-grams of lowercase(input) — the

@@ -384,6 +384,19 @@ object TextAlgos {
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Per-char lookup tables for the hot per-row loops: fold
+    * Character.toLowerCase / isLetterOrDigit / isWhitespace into one
+    * array read each. Pure precomputation of the same JDK functions —
+    * values identical by construction.
+    */
+  private val lowerTable: Array[Char] =
+    Array.tabulate(1 << 16)(i => Character.toLowerCase(i.toChar))
+  private val SymFlag: Byte = 1 // neither letter/digit nor whitespace
+  private val classTable: Array[Byte] = Array.tabulate(1 << 16) { i =>
+    val c = i.toChar
+    if (!Character.isLetterOrDigit(c) && !Character.isWhitespace(c)) SymFlag else 0
+  }
+
   /** All per-turn text metrics in ONE pass over the normalized text:
     * (symbol density, 64-bit hash, distinct-trigram fraction over
     * per-char lowercased text). Values identical to calling
@@ -405,11 +418,11 @@ object TextAlgos {
     var i = 0
     while (i < len) {
       val c = s.charAt(i)
-      if (!Character.isLetterOrDigit(c) && !Character.isWhitespace(c)) sym += 1
+      sym += classTable(c)
       h ^= c.toLong
       h *= 0x100000001b3L
       if (seen != null) {
-        rolling = ((rolling << 16) | Character.toLowerCase(c).toLong) & mask
+        rolling = ((rolling << 16) | lowerTable(c).toLong) & mask
         if (i >= order - 1 && seen.add(rolling)) distinct += 1
       }
       i += 1

@@ -1,75 +1,56 @@
 package graft.lm
 
-import graft.functions.TextAlgos.mix64
 import graft.lang.LangIdModel
 
-/** Fused per-turn model scoring over a UNION hash table: the language
-  * models and the perplexity model are merged into one open-addressing
-  * table whose entries carry a value PER MODEL (the model's exact log
-  * value for that key, or its own unseen-default baked in at build
-  * time). The hot loop is then TWO probes per char (gram + context)
-  * instead of two per model — ~5× fewer random accesses than probing
-  * each model separately. Values live in a DENSE |union|×m array
-  * addressed through a slot→rank indirection, so the broadcast size is
-  * proportional to the key count, not the (3×-larger) hash capacity.
+/** Fused per-turn model scoring over DENSE direct-indexed tables: the
+  * language models and the perplexity model are merged into per-model
+  * value rows addressed by compact alphabet ids instead of hashed
+  * probes. The trained alphabet (distinct normalized chars across every
+  * model's gram/ctx keys, plus the boundary sentinel) is small — a few
+  * dozen symbols from the embedded seed corpora — so the full
+  * (A+1)³×m gram table and (A+1)²×m ctx table fit in a few MB and the
+  * hot loop is THREE array reads per (char, model): no hashing, no
+  * probe chains, no branches. Id A (the last one) is the
+  * out-of-alphabet bucket; every index touching it holds the model's
+  * unseen default, exactly what a hash miss returned.
   *
-  * Bit-exactness: entry values are copied unchanged from each NGramLM,
-  * the per-char update is lp += (gram − ctx) exactly like
-  * NGramLM.logProb, and the classification math is division-for-
-  * division the LangIdModel softmax — so (lang, conf, ppl) equal the
-  * unfused per-model path exactly (asserted in LangLmSpec).
+  * Bit-exactness: every table entry is filled by probing the source
+  * NGramLM for the packed char key (exact stored log value, or the
+  * model's own unseen-default), the per-char update is
+  * lp += (gram − ctx) exactly like NGramLM.logProb, and the
+  * classification math is division-for-division the LangIdModel softmax
+  * — so (lang, conf, ppl) equal the unfused per-model path exactly
+  * (asserted in LangLmSpec).
   */
 final class TurnScorer private (
     val langs: Array[String],
     nModels: Int, // langs + 1 (ppl model last)
-    gramKeys: Array[Long], gramRank: Array[Int], gramVals: Array[Double], gramMask: Int,
-    ctxKeys: Array[Long], ctxRank: Array[Int], ctxVals: Array[Double], ctxMask: Int,
-    gramDefaults: Array[Double], ctxDefaults: Array[Double]
+    a1: Int, // alphabet size incl. the trailing unseen id
+    charId: Array[Short], // raw char -> norm -> alphabet id (65536 entries)
+    gramVals: Array[Double], // a1³ × m, defaults baked in
+    ctxVals: Array[Double], // a1² × m, defaults baked in
+    boundaryId: Int
 ) extends Serializable {
 
   /** Returns (lang, confidence, perplexity); empty/null → ("und", 0, 1). */
   def score(norm: String): (String, Double, Double) = {
     if (norm == null || norm.isEmpty) return ("und", 0.0, 1.0)
     val m = nModels
+    val a = a1
     val lps = new Array[Double](m)
-    val gbuf = new Array[Double](m) // per-char gram part; lp += gram - ctx
-    var c1 = NGramLM.Boundary
-    var c2 = NGramLM.Boundary
+    var c1 = boundaryId
+    var c2 = boundaryId
     var i = 0
     while (i < norm.length) {
-      val c = NGramLM.norm(norm.charAt(i))
-      val ctx = (c1.toLong << 16) | c2.toLong
-      val gram = (ctx << 16) | c.toLong
-
-      var slot = (mix64(gram) & gramMask).toInt
-      var base = -1
-      var searching = true
-      while (searching) {
-        val stored = gramKeys(slot)
-        if (stored == gram + 1) { base = gramRank(slot) * m; searching = false }
-        else if (stored == 0L) searching = false
-        else slot = (slot + 1) & gramMask
-      }
-      var j = 0
-      if (base >= 0) while (j < m) { gbuf(j) = gramVals(base + j); j += 1 }
-      else while (j < m) { gbuf(j) = gramDefaults(j); j += 1 }
-
-      slot = (mix64(ctx) & ctxMask).toInt
-      base = -1
-      searching = true
-      while (searching) {
-        val stored = ctxKeys(slot)
-        if (stored == ctx + 1) { base = ctxRank(slot) * m; searching = false }
-        else if (stored == 0L) searching = false
-        else slot = (slot + 1) & ctxMask
-      }
+      val cid = charId(norm.charAt(i))
+      val ctxPart = c1 * a + c2
+      val ctxBase = ctxPart * m
+      val gramBase = (ctxPart * a + cid) * m
       // lp += (gram - ctx): same per-char rounding as NGramLM.logProb
-      j = 0
-      if (base >= 0) while (j < m) { lps(j) += gbuf(j) - ctxVals(base + j); j += 1 }
-      else while (j < m) { lps(j) += gbuf(j) - ctxDefaults(j); j += 1 }
-
+      var j = 0
+      while (j < m) { lps(j) += gramVals(gramBase + j) - ctxVals(ctxBase + j); j += 1 }
       c1 = c2
-      c2 = c
+      c2 = cid
       i += 1
     }
     val n = norm.length
@@ -91,7 +72,7 @@ final class TurnScorer private (
 object TurnScorer {
 
   /** The default scorer over the embedded models — built once per JVM
-    * (construction does a full union-table build; callers must NOT
+    * (construction fills the dense union tables; callers must NOT
     * rebuild per conversation/job).
     */
   lazy val default: TurnScorer =
@@ -101,31 +82,78 @@ object TurnScorer {
     val models: Array[NGramLM] = langId.models :+ ppl
     val m = models.length
 
-    def build(keysOf: NGramLM => Iterator[Long],
-              valOf: (NGramLM, Long) => Double)
-      : (Array[Long], Array[Int], Array[Double], Int) = {
-      val union = models.iterator.flatMap(keysOf).toArray.distinct
-      java.util.Arrays.sort(union) // deterministic layout + rank order
-      var cap = 16
-      while (cap < union.length * 3) cap <<= 1
-      val keys = new Array[Long](cap)
-      val rank = new Array[Int](cap)
-      val vals = new Array[Double](union.length * m)
-      val mask = cap - 1
-      union.zipWithIndex.foreach { case (key, r) =>
-        var i = (mix64(key) & mask).toInt
-        while (keys(i) != 0L) i = (i + 1) & mask
-        keys(i) = key + 1
-        rank(i) = r
-        var j = 0
-        while (j < m) { vals(r * m + j) = valOf(models(j), key); j += 1 }
-      }
-      (keys, rank, vals, mask)
+    // trained alphabet: every char position of every model's gram/ctx
+    // keys, plus the boundary sentinel. Sorted → deterministic ids.
+    val chars = scala.collection.mutable.SortedSet[Char](NGramLM.Boundary)
+    def addKeyChars(key: Long, n: Int): Unit = {
+      var sh = 0
+      var i = 0
+      while (i < n) { chars += ((key >>> sh) & 0xffffL).toChar; sh += 16; i += 1 }
+    }
+    models.foreach { mod =>
+      mod.gramKeySet.foreach(addKeyChars(_, 3))
+      mod.ctxKeySet.foreach(addKeyChars(_, 2))
+    }
+    val alphabet = chars.toArray
+    val a = alphabet.length // ids 0..a-1 = trained chars, id a = unseen
+    val a1 = a + 1
+    // dense tables stay a few MB only because the normalized alphabet
+    // is small; hard guard in case NGramLM.norm is ever widened
+    require(a1 <= 128,
+      s"trained alphabet has $a symbols — the dense TurnScorer tables " +
+        "would outgrow cache; shrink NGramLM.norm or rework the layout")
+
+    // norm's range is ≤ U+0100 ('Ā' bucket) by construction, so a small
+    // direct array maps normalized char → id; the 65536-entry charId
+    // table then folds norm + id into one lookup per raw char
+    require(alphabet.forall(_.toInt <= 0x101), "normalized char outside norm's range")
+    val idOfNorm = Array.fill[Short](0x102)(a.toShort)
+    alphabet.zipWithIndex.foreach { case (ch, i) => idOfNorm(ch.toInt) = i.toShort }
+    val charId = new Array[Short](1 << 16)
+    var c = 0
+    while (c < (1 << 16)) {
+      val nc = NGramLM.norm(c.toChar).toInt
+      charId(c) = if (nc < 0x102) idOfNorm(nc) else a.toShort
+      c += 1
     }
 
-    val (gk, gr, gv, gm) = build(_.gramKeySet, (mod, k) => mod.gramLog(k))
-    val (ck, cr, cv, cm) = build(_.ctxKeySet, (mod, k) => mod.ctxLog(k))
-    new TurnScorer(langId.langs, m, gk, gr, gv, gm, ck, cr, cv, cm,
-      models.map(_.unseenNum), models.map(_.unseenDen))
+    @inline def charAt(id: Int): Long =
+      if (id < a) alphabet(id).toLong else 0xfffeL // impossible char: never a key
+
+    val ctxVals = new Array[Double](a1 * a1 * m)
+    var i1 = 0
+    while (i1 < a1) {
+      var i2 = 0
+      while (i2 < a1) {
+        val key = (charAt(i1) << 16) | charAt(i2)
+        val base = (i1 * a1 + i2) * m
+        var j = 0
+        while (j < m) { ctxVals(base + j) = models(j).ctxLog(key); j += 1 }
+        i2 += 1
+      }
+      i1 += 1
+    }
+
+    val gramVals = new Array[Double](a1 * a1 * a1 * m)
+    i1 = 0
+    while (i1 < a1) {
+      var i2 = 0
+      while (i2 < a1) {
+        val ctxKey = (charAt(i1) << 16) | charAt(i2)
+        var i3 = 0
+        while (i3 < a1) {
+          val key = (ctxKey << 16) | charAt(i3)
+          val base = ((i1 * a1 + i2) * a1 + i3) * m
+          var j = 0
+          while (j < m) { gramVals(base + j) = models(j).gramLog(key); j += 1 }
+          i3 += 1
+        }
+        i2 += 1
+      }
+      i1 += 1
+    }
+
+    val boundaryId = idOfNorm(NGramLM.Boundary.toInt).toInt
+    new TurnScorer(langId.langs, m, a1, charId, gramVals, ctxVals, boundaryId)
   }
 }

@@ -37,31 +37,36 @@ import graft.scrub.Scrub
   */
 object QualityFilter {
 
-  /** Stage 1: broadcast-model inference + per-turn metrics in a single
-    * pass (north_star: "fastText language-ID (broadcast model,
-    * mapPartitions batched inference)" + KenLM-style perplexity).
+  /** Stage 1: fused model inference (language-ID + perplexity over the
+    * per-executor dense union tables) + per-turn metrics in a single
+    * codegen expression (north_star: "fastText language-ID, batched
+    * inference" + KenLM-style perplexity). Values are bit-identical to
+    * the round-6 mapPartitions object pass — ScoreAllExpr calls the
+    * same normalize/score/turnMetrics functions — but the stage stays
+    * inside whole-stage codegen: no Turn/ScoredTurn (de)serialization
+    * per row, and the scan fuses straight into the conv_id exchange.
+    * The two Projects below deliberately stay separate (CollapseProject
+    * refuses to duplicate the non-cheap struct), so the expression runs
+    * once per row and the field extraction is free column plumbing.
     */
   def score(ds: Dataset[Turn]): Dataset[ScoredTurn] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    val scorerBc = spark.sparkContext.broadcast(graft.lm.TurnScorer.default)
-    ds.mapPartitions { it =>
-      val scorer = scorerBc.value
-      it.map { t =>
-        val norm = Scrub.normalizeWsPlain(t.text)
-        val isEmpty = t.text == null || Sentinels.contains(norm)
-        // one fused pass for all 5 model probes, one for text metrics
-        val (lang, conf, ppl) = scorer.score(norm)
-        val (symD, hash, rep) = TextAlgos.turnMetrics(norm, RepetitionOrder)
-        ScoredTurn(t.conv_id, t.turn_idx, t.role, t.text, t.tool, t.ts,
-          lang, conf, ppl,
-          norm_len = if (norm == null) 0 else norm.length,
-          norm_hash = hash,
-          is_empty = isEmpty,
-          sym_density = symD,
-          rep_ratio = rep)
-      }
-    }
+    val sc = graft.functions.GraftExpressions.score_all(col("text")).as("__sc")
+    ds.toDF()
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+        col("tool"), col("ts"), sc)
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+        col("tool"), col("ts"),
+        col("__sc.lang").as("lang"),
+        col("__sc.lang_conf").as("lang_conf"),
+        col("__sc.ppl").as("ppl"),
+        col("__sc.norm_len").as("norm_len"),
+        col("__sc.norm_hash").as("norm_hash"),
+        col("__sc.is_empty").as("is_empty"),
+        col("__sc.sym_density").as("sym_density"),
+        col("__sc.rep_ratio").as("rep_ratio"))
+      .as[ScoredTurn]
   }
 
   /** Eligibility for model-based rules + the conversation language
