@@ -47,18 +47,88 @@ object CheckpointedRun {
     val table = SnapshotTable(outRoot, nBuckets)
     val bucket = Metrics.bucketCol(nBuckets)
 
+    // metrics are snapshot tables of their own (the "Iceberg metrics
+    // table"): committed per bucket with the same atomic-manifest
+    // semantics as the data, so lineage is never ahead of or behind
+    // the output snapshot by more than the in-flight bucket
+    val metricTables = metricsRoot.map(mr =>
+      (SnapshotTable(s"$mr/bucket_stats", nBuckets),
+        SnapshotTable(s"$mr/rule_lineage", nBuckets)))
+
+    // a bucket counts as done only when data AND metrics committed it:
+    // a crash between the data commit and the metrics commits must
+    // re-run the bucket on restart (every commit is an idempotent
+    // overwrite), otherwise its stats/lineage rows are lost for good
+    val done = metricTables match {
+      case Some((statsT, lineageT)) =>
+        table.completedBuckets intersect statsT.completedBuckets intersect
+          lineageT.completedBuckets
+      case None => table.completedBuckets
+    }
+    val todo = (0 until nBuckets).filterNot(done)
+
+    // Fully-committed no-op resume: nothing will be relabeled, so the
+    // expensive opt-in passes (full-corpus model scoring for the IQR
+    // bounds, the benchmark gram-set fingerprint) exist only to rebuild
+    // labeling.cfg's computed values for the guard comparison. Compare
+    // the recorded PARAMETERS instead and return — same failure
+    // semantics on a parameter mismatch, zero corpus passes when the
+    // table is already complete.
+    if (todo.isEmpty) {
+      val cfgFile = java.nio.file.Paths.get(outRoot, "_graft", "labeling.cfg")
+      if (java.nio.file.Files.exists(cfgFile)) {
+        val prior = new String(java.nio.file.Files.readAllBytes(cfgFile),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        val lines = prior.linesIterator.toSeq
+        def line(prefix: String): Option[String] = lines.find(_.startsWith(prefix))
+        val cndOk = convNearDup match {
+          case Some(c) => line("conv_neardup=").contains(
+            s"conv_neardup=${c.numHashes},${c.bands},${c.shingleK},${c.threshold},${c.maxBucket}")
+          case None => line("conv_neardup=").forall(_ == "conv_neardup=off")
+        }
+        val bpOk = boilerplate match {
+          case Some(b) => line("boilerplate=").contains(s"boilerplate=${b.minConvs},${b.minLen}")
+          case None => line("boilerplate=").isEmpty
+        }
+        val iqrOk = pplIqrK match {
+          case Some(k) => line("ppl_iqr=").exists(_.startsWith(s"ppl_iqr=$k,"))
+          case None => line("ppl_iqr=").isEmpty
+        }
+        val ctOk = decontaminate match {
+          case Some(d) => line("decontaminate=").exists(l =>
+            l.startsWith(s"decontaminate=${d.n},${d.minMatches},${d.benchTextCol},") &&
+              l.endsWith(s",${d.benchPath}"))
+          case None => line("decontaminate=").isEmpty
+        }
+        require(cndOk && bpOk && iqrOk && ctOk,
+          s"output table $outRoot was produced under '$prior' but this " +
+            "fully-committed resume asks for different labeling settings — " +
+            "finish the run with the original setting or start a fresh output root")
+        return RunResult(table.currentVersion, Seq.empty, done.toSeq.sorted)
+      }
+    }
+
     // opt-in IQR perplexity bounds (the A8 outlier rule on the model
     // score): quartiles are a whole-corpus statistic, so the bounds are
     // computed ONCE over the FULL input — naive per-bucket quartiles
     // would give each bucket different drop thresholds, breaking the
-    // bucketed == direct invariant. One extra scoring pass over the
-    // corpus (quartiles need every eligible turn's ppl — inherent to
-    // the rule); deterministic (exact histogram-selection percentiles),
-    // so a resume recomputes the identical bounds and labeling.cfg's
-    // recorded copy below fails fast if it somehow doesn't (changed
-    // corpus, changed k).
+    // bucketed == direct invariant. Scoring is the engine's dominant
+    // map cost, so the scored frame is PERSISTED and reused: the
+    // quartile passes read it, and every bucket labels from it via the
+    // labelScored seam instead of re-scoring its rows (round 6 paid a
+    // second full-corpus model pass here). Deterministic either way
+    // (exact histogram-selection percentiles), so a resume recomputes
+    // the identical bounds and labeling.cfg's recorded copy below
+    // fails fast if it somehow doesn't (changed corpus, changed k).
+    val scoredForIqr: Option[Dataset[graft.schema.ScoredTurn]] = pplIqrK.map { _ =>
+      QualityFilter.score(input)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val pplBounds: Option[(Double, Double)] =
-      pplIqrK.map(k => QualityFilter.pplIqrBounds(QualityFilter.score(input), k))
+      (pplIqrK, scoredForIqr) match {
+        case (Some(k), Some(s)) => Some(QualityFilter.pplIqrBounds(s, k))
+        case _ => None
+      }
 
     // opt-in decontamination: fingerprint the bench gram set up front —
     // the guard below records CONTENT (count + xor of gram hashes), not
@@ -127,26 +197,6 @@ object CheckpointedRun {
       }
       java.nio.file.Files.write(cfgFile, cfgStr.getBytes(UTF_8))
     }
-
-    // metrics are snapshot tables of their own (the "Iceberg metrics
-    // table"): committed per bucket with the same atomic-manifest
-    // semantics as the data, so lineage is never ahead of or behind
-    // the output snapshot by more than the in-flight bucket
-    val metricTables = metricsRoot.map(mr =>
-      (SnapshotTable(s"$mr/bucket_stats", nBuckets),
-        SnapshotTable(s"$mr/rule_lineage", nBuckets)))
-
-    // a bucket counts as done only when data AND metrics committed it:
-    // a crash between the data commit and the metrics commits must
-    // re-run the bucket on restart (every commit is an idempotent
-    // overwrite), otherwise its stats/lineage rows are lost for good
-    val done = metricTables match {
-      case Some((statsT, lineageT)) =>
-        table.completedBuckets intersect statsT.completedBuckets intersect
-          lineageT.completedBuckets
-      case None => table.completedBuckets
-    }
-    val todo = (0 until nBuckets).filterNot(done)
 
     // ONE census over the remaining corpus locates giant conversations
     // for every to-do bucket (SkewSplit would otherwise census per
@@ -223,16 +273,30 @@ object CheckpointedRun {
 
     todo.foreach { b =>
       val bucketInput = input.where(bucket === b)
-      val base =
-        if (skewMaxTurns <= 0)
-          QualityFilter.label(bucketInput, skewMaxTurns = 0, pplBounds)
-        // censusOverflow: the corpus-wide giant count exceeded the
-        // bound, so no bucket gets an inlined isin literal list (plan
-        // size / driver memory) — all take the join-based split
-        else if (censusOverflow)
-          SkewSplit.labelViaJoins(bucketInput, skewMaxTurns, pplBounds)
-        else SkewSplit.labelWithGiants(bucketInput, skewMaxTurns,
-          giantsByBucket.getOrElse(b, Array.empty), pplBounds)
+      // with IQR on, label each bucket from the persisted scored frame
+      // (scored exactly once, above) instead of re-scoring its rows;
+      // scoring is per-row pure, so the results are identical
+      // (CheckpointSpec pins bucketed == direct on both paths)
+      val base = scoredForIqr match {
+        case Some(s) =>
+          import input.sparkSession.implicits._
+          val sb = s.where(bucket === b).as[graft.schema.ScoredTurn]
+          if (skewMaxTurns <= 0) QualityFilter.labelScored(sb, pplBounds)
+          else if (censusOverflow)
+            SkewSplit.labelViaJoinsScored(sb, skewMaxTurns, pplBounds)
+          else SkewSplit.labelWithGiantsScored(sb, skewMaxTurns,
+            giantsByBucket.getOrElse(b, Array.empty), pplBounds)
+        case None =>
+          if (skewMaxTurns <= 0)
+            QualityFilter.label(bucketInput, skewMaxTurns = 0, pplBounds)
+          // censusOverflow: the corpus-wide giant count exceeded the
+          // bound, so no bucket gets an inlined isin literal list (plan
+          // size / driver memory) — all take the join-based split
+          else if (censusOverflow)
+            SkewSplit.labelViaJoins(bucketInput, skewMaxTurns, pplBounds)
+          else SkewSplit.labelWithGiants(bucketInput, skewMaxTurns,
+            giantsByBucket.getOrElse(b, Array.empty), pplBounds)
+      }
       // composition order = lineage order: boilerplate then
       // decontamination (turn-level) before conv-near-dup
       // (conversation-level) — finer-grained reasons first
@@ -263,6 +327,7 @@ object CheckpointedRun {
     dropped.foreach(_.unpersist(blocking = false))
     bpDropped.foreach(_.unpersist(blocking = false))
     ctDropped.foreach(_.unpersist(blocking = false))
+    scoredForIqr.foreach(_.unpersist(blocking = false))
     graft.ops.Decontaminate.releaseCache()
     RunResult(table.currentVersion, todo, done.toSeq.sorted)
   }

@@ -82,20 +82,30 @@ object SkewSplit {
     */
   def labelWithGiants(ds: Dataset[graft.schema.Turn], maxTurns: Int,
                       giantIds: Array[String],
-                      pplBounds: Option[(Double, Double)] = None): DataFrame = {
-    import ds.sparkSession.implicits._
+                      pplBounds: Option[(Double, Double)] = None): DataFrame =
+    labelWithGiantsScored(QualityFilter.score(ds), maxTurns, giantIds, pplBounds)
+
+  /** The same routing over an ALREADY-SCORED frame — the seam that lets
+    * a runner score the corpus exactly once and reuse the scored rows
+    * for both the IQR bounds pass and every bucket's labeling
+    * (scoring is per-row pure, so score-then-split == split-then-score;
+    * the conv_id routing filters push below the scoring projection).
+    */
+  def labelWithGiantsScored(scored: Dataset[ScoredTurn], maxTurns: Int,
+                            giantIds: Array[String],
+                            pplBounds: Option[(Double, Double)] = None): DataFrame = {
+    import scored.sparkSession.implicits._
     if (giantIds.isEmpty)
-      return QualityFilter.labelScored(QualityFilter.score(ds), pplBounds)
+      return QualityFilter.labelScored(scored, pplBounds)
 
     val inGiants = $"conv_id".isin(giantIds.toSeq: _*)
     // null conv_id routes to the normal path (mirrors left_anti, which
     // keeps null keys); isin is null on null input, hence the coalesces
-    val normal = ds.where(coalesce(!inGiants, lit(true)))
-    val giant = ds.where(coalesce(inGiants, lit(false)))
+    val normal = scored.where(coalesce(!inGiants, lit(true))).as[ScoredTurn]
+    val giant = scored.where(coalesce(inGiants, lit(false))).as[ScoredTurn]
 
-    QualityFilter.labelScored(QualityFilter.score(normal.as[graft.schema.Turn]), pplBounds)
-      .unionByName(labelGiant(QualityFilter.score(giant.as[graft.schema.Turn]),
-        maxTurns, pplBounds))
+    QualityFilter.labelScored(normal, pplBounds)
+      .unionByName(labelGiant(giant, maxTurns, pplBounds))
   }
 
   /** Join-based split for the degenerate case of MANY giant
@@ -110,6 +120,9 @@ object SkewSplit {
                                    pplBounds: Option[(Double, Double)] = None): DataFrame = {
     val spark = ds.sparkSession
     import spark.implicits._
+    // score AFTER the routing joins: each branch then scores only its
+    // own rows (a pre-join scoring projection cannot be pushed through
+    // the join and would score the full corpus once per branch)
     val sizes = ds.groupBy($"conv_id").agg(count(lit(1)).as("n_turns"))
     val giants = sizes.where($"n_turns" > maxTurns).select($"conv_id")
     val normal = ds.join(giants, Seq("conv_id"), "left_anti")
@@ -117,6 +130,22 @@ object SkewSplit {
     QualityFilter.labelScored(QualityFilter.score(normal.as[graft.schema.Turn]), pplBounds)
       .unionByName(labelGiant(QualityFilter.score(giant.as[graft.schema.Turn]),
         maxTurns, pplBounds))
+  }
+
+  /** Join-based split over an already-scored frame (see
+    * [[labelWithGiantsScored]]). Callers must pass a PERSISTED scored
+    * frame — the two routing joins re-evaluate their input, which on an
+    * unpersisted frame would re-score the full corpus per branch.
+    */
+  private[graft] def labelViaJoinsScored(scored: Dataset[ScoredTurn], maxTurns: Int,
+                                         pplBounds: Option[(Double, Double)] = None): DataFrame = {
+    import scored.sparkSession.implicits._
+    val sizes = scored.groupBy($"conv_id").agg(count(lit(1)).as("n_turns"))
+    val giants = sizes.where($"n_turns" > maxTurns).select($"conv_id")
+    val normal = scored.join(giants, Seq("conv_id"), "left_anti").as[ScoredTurn]
+    val giant = scored.join(giants, Seq("conv_id"), "left_semi").as[ScoredTurn]
+    QualityFilter.labelScored(normal, pplBounds)
+      .unionByName(labelGiant(giant, maxTurns, pplBounds))
   }
 
   private def eligible = !col("is_empty") &&
