@@ -112,10 +112,59 @@ object GraftExpressions {
     * Returns struct<lang, lang_conf, ppl, norm_len, norm_hash,
     * is_empty, sym_density, rep_ratio>.
     */
+  /** Cosine similarity of two float-array embeddings — the codegen
+    * replacement for the zip_with/aggregate column chain (higher-order
+    * array functions are CodegenFallback: interpreted per row, one
+    * intermediate array per transform). Emulates the column chain's
+    * SQL three-valued logic EXACTLY (asserted element-wise against it
+    * in SimilaritySpec):
+    *  - norms are null iff their array holds a null element;
+    *  - the dot product is null iff lengths differ (zip_with pads with
+    *    null) or either array holds a null element;
+    *  - `when(na = 0 OR nb = 0, 0.0)` fires only when a norm is
+    *    provably zero; otherwise the null dot/norms propagate.
+    * Accumulation order is the same left-to-right fold from 0.0, so
+    * non-null results are bit-identical.
+    */
+  def cosineSim(aD: org.apache.spark.sql.catalyst.util.ArrayData,
+                bD: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Double = {
+    val la = aD.numElements()
+    val lb = bD.numElements()
+    var naNull = false
+    var na = 0.0
+    var i = 0
+    while (i < la) {
+      if (aD.isNullAt(i)) naNull = true
+      else { val v = aD.getFloat(i).toDouble; na += v * v }
+      i += 1
+    }
+    var nbNull = false
+    var nb = 0.0
+    i = 0
+    while (i < lb) {
+      if (bD.isNullAt(i)) nbNull = true
+      else { val v = bD.getFloat(i).toDouble; nb += v * v }
+      i += 1
+    }
+    if ((!naNull && na == 0.0) || (!nbNull && nb == 0.0)) return 0.0
+    if (la != lb || naNull || nbNull) return null
+    var dot = 0.0
+    i = 0
+    while (i < la) { dot += aD.getFloat(i).toDouble * bD.getFloat(i).toDouble; i += 1 }
+    dot / java.lang.Math.sqrt(na * nb)
+  }
+
+  private val MaxSentinelLen: Int =
+    graft.rules.RuleConfig.Sentinels.map(_.length).max
+
   def scoreAll(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
     val raw = if (s == null) null else s.toString
     val norm = graft.scrub.Scrub.normalizeWsPlain(raw)
-    val isEmpty = raw == null || graft.rules.RuleConfig.Sentinels.contains(norm)
+    // length guard: Set.contains hashes its argument, an O(len) pass
+    // wasted on every ordinary turn — no sentinel is longer than
+    // MaxSentinelLen, so longer texts skip the lookup (same result)
+    val isEmpty = raw == null || (norm.length <= MaxSentinelLen &&
+      graft.rules.RuleConfig.Sentinels.contains(norm))
     val (lang, conf, ppl) = graft.lm.TurnScorer.default.score(norm)
     val (symD, hash, rep) =
       TextAlgos.turnMetrics(norm, graft.rules.RuleConfig.RepetitionOrder)
@@ -151,6 +200,10 @@ object GraftExpressions {
 
   def score_all(c: Column): Column =
     ExpressionUtils.column(ScoreAllExpr(ExpressionUtils.expression(c)))
+
+  def cosine_sim(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      CosineSimExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   def min_hash_sig(c: Column, numHashes: Int, k: Int): Column =
     ExpressionUtils.column(MinHashSigExpr(ExpressionUtils.expression(c), numHashes, k))
@@ -254,6 +307,40 @@ object ScoreAllExpr {
     StructField("is_empty", BooleanType, nullable = false),
     StructField("sym_density", DoubleType, nullable = false),
     StructField("rep_ratio", DoubleType, nullable = false)))
+}
+
+/** Codegen cosine similarity over float-array embeddings (see
+  * GraftExpressions.cosineSim for the exact null semantics it
+  * replicates). Nullable: null input arrays, length mismatches and
+  * null elements produce null exactly like the column chain did.
+  */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftExpressions.cosineSim(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val a = left.genCode(ctx)
+    val b = right.genCode(ctx)
+    val tmp = ctx.freshName("cosv")
+    ev.copy(
+      code = code"""
+        ${a.code}
+        ${b.code}
+        java.lang.Double $tmp = (${a.isNull} || ${b.isNull}) ? null :
+          graft.functions.GraftExpressions.cosineSim(${a.value}, ${b.value});
+        boolean ${ev.isNull} = $tmp == null;
+        double ${ev.value} = ${ev.isNull} ? 0.0 : $tmp.doubleValue();
+      """)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Distinct-fraction of char n-grams of lowercase(input) — the

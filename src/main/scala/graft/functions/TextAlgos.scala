@@ -33,6 +33,16 @@ object TextAlgos {
     private var used = 0
     private var hasZero = false
 
+    def contains(k: Long): Boolean = {
+      if (k == 0L) hasZero
+      else {
+        var i = (mix64(k) & mask).toInt
+        var st = keys(i)
+        while (st != 0L && st != k) { i = (i + 1) & mask; st = keys(i) }
+        st == k
+      }
+    }
+
     def add(k: Long): Boolean = {
       if (k == 0L) {
         if (hasZero) false else { hasZero = true; true }
@@ -78,7 +88,8 @@ object TextAlgos {
     if (total < 2) return 1.0
     // hash-set over 64-bit gram fingerprints; collision probability is
     // negligible and identical on every path (deterministic hashing).
-    val seen = new LongDistinctSet(math.min(total, 1 << 16))
+    val seen = scratchSet.get()
+    seen.reset(math.min(total, 1 << 16))
     var i = 0
     var distinct = 0
     while (i < total) {
@@ -253,30 +264,81 @@ object TextAlgos {
 
   /** Word k-shingle fingerprints of a document (lowercased, whitespace
     * tokenized). Used by minhash / ngram-jaccard dedup.
+    *
+    * Tokenization is a hand loop over the lowercased string (token =
+    * maximal run of non-`\s` chars — bit-identical to the previous
+    * `split("\\s+").filter(_.nonEmpty)`, java regex `\s` being the
+    * ASCII [ \t\n\x0B\f\r]); shingle hashes read chars straight from
+    * the token offsets, so no per-token String or Array[String] is
+    * allocated in the signature hot path.
     */
+  /** Token boundaries of a string: (starts, ends, count) of the maximal
+    * runs of non-`\s` chars — the same tokens as
+    * `split("\\s+").filter(_.nonEmpty)` (java regex `\s` is the ASCII
+    * [ \t\n\x0B\f\r]). Shared by every word-shingle/word-gram path so
+    * no per-token String is allocated in the hashing hot loops.
+    */
+  private[graft] def tokenOffsets(s: String): (Array[Int], Array[Int], Int) = {
+    val len = s.length
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var nTok = 0
+    var i = 0
+    while (i < len) {
+      val c = s.charAt(i)
+      if (c == ' ' || (c >= '\t' && c <= '\r')) i += 1
+      else {
+        val st = i
+        while (i < len && {
+          val d = s.charAt(i); !(d == ' ' || (d >= '\t' && d <= '\r'))
+        }) i += 1
+        if (nTok == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nTok * 2)
+          ends = java.util.Arrays.copyOf(ends, nTok * 2)
+        }
+        starts(nTok) = st
+        ends(nTok) = i
+        nTok += 1
+      }
+    }
+    (starts, ends, nTok)
+  }
+
   def shingles(s: String, k: Int): Array[Long] = {
     if (s == null) return Array.emptyLongArray
     // Locale.ROOT: keep tokenization identical to DuckDB lower() under
     // any default JVM locale (tr-TR would fold 'I' to dotless ı)
-    val toks = s.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
-    if (toks.length < k) {
-      if (toks.isEmpty) Array.emptyLongArray
-      else Array(hash64(toks.mkString(" ")))
-    } else {
-      val out = new Array[Long](toks.length - k + 1)
-      var i = 0
-      while (i + k <= toks.length) {
+    val lower = s.toLowerCase(java.util.Locale.ROOT)
+    val (starts, ends, nTok) = tokenOffsets(lower)
+    if (nTok < k) {
+      if (nTok == 0) Array.emptyLongArray
+      else {
+        // hash64 of the tokens joined by single spaces (FNV-1a + mix64)
         var h = 0xcbf29ce484222325L
-        var j = i
-        while (j < i + k) {
-          val t = toks(j)
-          var p = 0
-          while (p < t.length) { h ^= t.charAt(p).toLong; h *= 0x100000001b3L; p += 1 }
-          h ^= ' '.toLong; h *= 0x100000001b3L
+        var t = 0
+        while (t < nTok) {
+          if (t > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
+          var p = starts(t)
+          while (p < ends(t)) { h ^= lower.charAt(p).toLong; h *= 0x100000001b3L; p += 1 }
+          t += 1
+        }
+        Array(mix64(h))
+      }
+    } else {
+      val out = new Array[Long](nTok - k + 1)
+      var w = 0
+      while (w + k <= nTok) {
+        var h = 0xcbf29ce484222325L
+        var j = w
+        while (j < w + k) {
+          var p = starts(j)
+          while (p < ends(j)) { h ^= lower.charAt(p).toLong; h *= 0x100000001b3L; p += 1 }
+          h ^= ' '.toLong
+          h *= 0x100000001b3L
           j += 1
         }
-        out(i) = mix64(h)
-        i += 1
+        out(w) = mix64(h)
+        w += 1
       }
       out
     }
@@ -356,14 +418,20 @@ object TextAlgos {
     val sb = shingles(b, k)
     if (sa.isEmpty && sb.isEmpty) return 1.0
     if (sa.isEmpty || sb.isEmpty) return 0.0
-    val setA = new java.util.HashSet[Long]()
-    sa.foreach(setA.add)
-    val setB = new java.util.HashSet[Long]()
-    sb.foreach(setB.add)
+    val setA = new LongDistinctSet(sa.length)
+    var da = 0
+    var i = 0
+    while (i < sa.length) { if (setA.add(sa(i))) da += 1; i += 1 }
+    val setB = new LongDistinctSet(sb.length)
+    var db = 0
     var inter = 0
-    val it = setA.iterator()
-    while (it.hasNext) if (setB.contains(it.next())) inter += 1
-    inter.toDouble / (setA.size + setB.size - inter).toDouble
+    i = 0
+    while (i < sb.length) {
+      val v = sb(i)
+      if (setB.add(v)) { db += 1; if (setA.contains(v)) inter += 1 }
+      i += 1
+    }
+    inter.toDouble / (da + db - inter).toDouble
   }
 
   /** Cosine similarity of two float vectors (0 if either norm is 0).
@@ -383,6 +451,80 @@ object TextAlgos {
   }
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Reusable epoch-stamped variant of [[LongDistinctSet]] for the
+    * per-ROW distinct counting inside [[turnMetrics]]: a fresh set per
+    * row allocated (and zeroed) a table per call, which JFR measured at
+    * ~13% of pipeline samples. One instance per task thread
+    * (ThreadLocal); `reset` bumps the epoch instead of clearing, so a
+    * row pays zero allocation and zero zeroing. Membership semantics
+    * are identical: a slot counts only when its stamp equals the
+    * current epoch.
+    */
+  private final class ScratchLongSet {
+    private var cap = 1 << 10
+    private var mask = cap - 1
+    private var keys = new Array[Long](cap)
+    private var stamps = new Array[Int](cap)
+    private var epoch = 0
+    private var used = 0
+
+    /** Start a new row: O(1) unless the requested capacity outgrows the
+      * table (then re-allocate) or the epoch counter wraps (then clear
+      * stamps once every ~2^31 rows).
+      */
+    def reset(expected: Int): Unit = {
+      var need = 16
+      val target = math.min(math.max(expected, 8) * 2, 1 << 17)
+      while (need < target) need <<= 1
+      if (need > cap) {
+        cap = need; mask = cap - 1
+        keys = new Array[Long](cap); stamps = new Array[Int](cap)
+        epoch = 0
+      }
+      if (epoch == Int.MaxValue) { java.util.Arrays.fill(stamps, 0); epoch = 0 }
+      epoch += 1
+      used = 0
+    }
+
+    def add(k: Long): Boolean = {
+      var i = (mix64(k) & mask).toInt
+      while (stamps(i) == epoch) {
+        if (keys(i) == k) return false
+        i = (i + 1) & mask
+      }
+      stamps(i) = epoch
+      keys(i) = k
+      used += 1
+      if (used * 4 > cap * 3) grow()
+      true
+    }
+
+    private def grow(): Unit = {
+      val oldKeys = keys
+      val oldStamps = stamps
+      val oldEpoch = epoch
+      cap <<= 1
+      mask = cap - 1
+      keys = new Array[Long](cap)
+      stamps = new Array[Int](cap)
+      epoch = 1
+      var i = 0
+      while (i < oldKeys.length) {
+        if (oldStamps(i) == oldEpoch) {
+          var j = (mix64(oldKeys(i)) & mask).toInt
+          while (stamps(j) == epoch) j = (j + 1) & mask
+          stamps(j) = epoch
+          keys(j) = oldKeys(i)
+        }
+        i += 1
+      }
+    }
+  }
+
+  private val scratchSet = new ThreadLocal[ScratchLongSet] {
+    override def initialValue(): ScratchLongSet = new ScratchLongSet
+  }
 
   /** Per-char lookup tables for the hot per-row loops: fold
     * Character.toLowerCase / isLetterOrDigit / isWhitespace into one
@@ -411,7 +553,9 @@ object TextAlgos {
     var sym = 0
     var h = 0xcbf29ce484222325L
     val total = len - order + 1
-    val seen = if (total >= 2) new LongDistinctSet(math.min(total, 1 << 16)) else null
+    val seen =
+      if (total >= 2) { val s = scratchSet.get(); s.reset(math.min(total, 1 << 16)); s }
+      else null
     var distinct = 0
     var rolling = 0L // last `order` lowercased chars packed 16 bits each
     val mask = (1L << (16 * order)) - 1

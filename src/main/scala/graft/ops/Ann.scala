@@ -17,19 +17,17 @@ import graft.functions.TextAlgos.mix64
   */
 object Ann {
 
-  /** Cosine similarity of two float-array columns using codegen'd
-    * builtins only (zip_with + aggregate), computed in double precision.
+  /** Cosine similarity of two float-array columns in double precision.
+    *
+    * r7: a single whole-stage-codegen expression
+    * ([[graft.functions.GraftExpressions.cosineSim]]). The previous
+    * zip_with/aggregate chain ran as CodegenFallback — interpreted
+    * lambda evaluation plus an intermediate array per transform, per
+    * row. Null semantics and accumulation order are replicated exactly
+    * (SimilaritySpec's differential pins it to the old chain).
     */
-  def cosineCol(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val nb = aggregate(transform(b, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    when(na === 0.0 || nb === 0.0, lit(0.0))
-      .otherwise(dot / sqrt(na * nb))
-  }
+  def cosineCol(a: Column, b: Column): Column =
+    graft.functions.GraftExpressions.cosine_sim(a, b)
 
   /** Exact top-k: crossJoin(broadcast(queries)) → cosine → per-query
     * top-k window. At 100 TB corpus scale this is one full scan per

@@ -68,20 +68,24 @@ object Decontaminate {
     if (text == null) return Array.emptyLongArray
     // Locale.ROOT: a locale-sensitive lowercase (tr-TR dotless ı) would
     // diverge from DuckDB's lower() and across hosts
-    val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
-    if (toks.length < n) return Array.emptyLongArray
-    val out = new Array[Long](toks.length - n + 1)
-    val sb = new java.lang.StringBuilder
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
+    val (starts, ends, nTok) = TextAlgos.tokenOffsets(lower)
+    if (nTok < n) return Array.emptyLongArray
+    // hash64 of each n-token window joined by single spaces, computed
+    // straight from the token offsets (the StringBuilder + String it
+    // replaces allocated per gram; FNV-1a over the identical chars)
+    val out = new Array[Long](nTok - n + 1)
     var i = 0
-    while (i <= toks.length - n) {
-      sb.setLength(0)
-      var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(toks(i + j))
+    while (i + n <= nTok) {
+      var h = 0xcbf29ce484222325L
+      var j = i
+      while (j < i + n) {
+        if (j > i) { h ^= ' '.toLong; h *= 0x100000001b3L }
+        var p = starts(j)
+        while (p < ends(j)) { h ^= lower.charAt(p).toLong; h *= 0x100000001b3L; p += 1 }
         j += 1
       }
-      out(i) = TextAlgos.hash64(sb.toString)
+      out(i) = TextAlgos.mix64(h)
       i += 1
     }
     java.util.Arrays.sort(out)

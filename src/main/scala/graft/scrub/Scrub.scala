@@ -120,6 +120,11 @@ object Scrub {
   private val GateSlur = chainRules.indexOf(RuleConfig.ScrubSlur)
   private val slurToks: Array[String] =
     RuleConfig.SlurTokens.map(_.toLowerCase(java.util.Locale.ROOT)).toArray
+  private val slurFirstChars: Array[Boolean] = {
+    val a = new Array[Boolean](128)
+    slurToks.foreach { t => if (t.nonEmpty && t.charAt(0) < 128) a(t.charAt(0)) = true }
+    a
+  }
 
   @inline private def asciiLower(c: Char): Char =
     if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
@@ -144,8 +149,12 @@ object Scrub {
     *  - email  — contains '@' (the pattern has a literal '@');
     *  - key    — contains "sk-" / "AKIA" / "ghp_" / "xox" or a run of
     *             ≥32 hex chars (the pattern is that 5-way alternation);
-    *  - phone  — contains ≥2 digit chars (the pattern starts and ends
-    *             with [0-9]);
+    *  - phone  — contains a run of ≥8 consecutive chars from the
+    *             pattern's class [0-9()\-. ] holding ≥2 digits (every
+    *             match is [0-9] + {6,14} class chars + [0-9] — 8 to 16
+    *             consecutive class chars with digits at both ends, so
+    *             it sits inside such a run; the optional '+' prefix
+    *             only precedes the span and is not needed by the gate);
     *  - slur   — contains a slur token ASCII-case-insensitively (the
     *             \b boundaries only restrict further).
     * A cleared gate bit proves count 0 / no replacement without running
@@ -161,20 +170,28 @@ object Scrub {
   private def gateMask(s: String): Int = {
     val len = s.length
     var hasAt = false
-    var digits = 0
     var hexRun = 0
     var keyHit = false
     var slurHit = false
+    var phoneHit = false
+    var phoneRun = 0 // consecutive chars from PhoneRe's class [0-9()\-. ]
+    var phoneRunDigits = 0
     var i = 0
     while (i < len) {
       val c = s.charAt(i)
       if (c == '@') hasAt = true
       val isDigit = c >= '0' && c <= '9'
-      if (isDigit) digits += 1
       if (isDigit || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')) {
         hexRun += 1
         if (hexRun >= 32) keyHit = true
       } else hexRun = 0
+      if (!phoneHit) {
+        if (isDigit || c == '(' || c == ')' || c == '-' || c == '.' || c == ' ') {
+          phoneRun += 1
+          if (isDigit) phoneRunDigits += 1
+          if (phoneRun >= 8 && phoneRunDigits >= 2) phoneHit = true
+        } else { phoneRun = 0; phoneRunDigits = 0 }
+      }
       if (!keyHit) {
         if (c == 's') {
           if (i + 2 < len && s.charAt(i + 1) == 'k' && s.charAt(i + 2) == '-') keyHit = true
@@ -190,11 +207,17 @@ object Scrub {
       }
       if (!slurHit) {
         val lc = asciiLower(c)
-        if (lc == 'f' || lc == 's' || lc == 'g') {
+        if (lc < 128 && slurFirstChars(lc)) {
+          // token loop gated on first AND second char (both derived
+          // from SlurTokens) before the full match - common first
+          // letters, rare bigrams
           var t = 0
           while (!slurHit && t < slurToks.length) {
             val tok = slurToks(t)
-            if (tok.charAt(0) == lc && matchesCI(s, i, tok)) slurHit = true
+            if (tok.charAt(0) == lc &&
+                (tok.length < 2 ||
+                  (i + 1 < len && asciiLower(s.charAt(i + 1)) == tok.charAt(1))) &&
+                matchesCI(s, i, tok)) slurHit = true
             t += 1
           }
         }
@@ -204,7 +227,7 @@ object Scrub {
     var mask = 0
     if (hasAt) mask |= 1 << GateEmail
     if (keyHit) mask |= 1 << GateKey
-    if (digits >= 2) mask |= 1 << GatePhone
+    if (phoneHit) mask |= 1 << GatePhone
     if (slurHit) mask |= 1 << GateSlur
     mask
   }

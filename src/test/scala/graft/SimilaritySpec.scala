@@ -73,4 +73,58 @@ class SimilaritySpec extends AnyFunSuite {
     approx(TextAlgos.cosine(Array(1f, 1f), Array(-1f, -1f)), -1.0)
     approx(TextAlgos.cosine(Array(0f, 0f), Array(1f, 1f)), 0.0)
   }
+
+  test("cosine_sim expression == zip_with/aggregate column chain (incl. null shapes)") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+
+    // the r6 implementation, verbatim — the reference the codegen
+    // expression must match in value AND null behavior
+    def refCosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      val na = aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      val nb = aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot / sqrt(na * nb))
+    }
+
+    val rows = Seq[(Array[java.lang.Float], Array[java.lang.Float])](
+      (Array[java.lang.Float](1f, 2f, 3f), Array[java.lang.Float](4f, 5f, 6f)),
+      (Array[java.lang.Float](0f, 0f), Array[java.lang.Float](1f, 1f)),
+      (Array[java.lang.Float](0f, 0f), Array[java.lang.Float](0f, 0f)),
+      (Array[java.lang.Float](1f, 2f), Array[java.lang.Float](1f, 2f, 3f)), // length mismatch
+      (Array[java.lang.Float](0f, 0f), Array[java.lang.Float](1f, 2f, 3f)), // mismatch + zero norm
+      (Array[java.lang.Float](1f, null), Array[java.lang.Float](1f, 2f)), // null element left
+      (Array[java.lang.Float](1f, 2f), Array[java.lang.Float](null, 2f)), // null element right
+      (Array[java.lang.Float](null, null), Array[java.lang.Float](0f, 0f)), // nulls vs zero norm
+      (null, Array[java.lang.Float](1f, 2f)), // null array
+      (Array[java.lang.Float](), Array[java.lang.Float]()), // empty arrays
+      (Array[java.lang.Float](Float.NaN, 1f), Array[java.lang.Float](1f, 1f)),
+      (Array[java.lang.Float](1e30f, 1e30f), Array[java.lang.Float](1e30f, -1e30f)))
+
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(FloatType, containsNull = true)),
+      StructField("b", ArrayType(FloatType, containsNull = true))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (a, b) =>
+        Row(if (a == null) null else a.toSeq, if (b == null) null else b.toSeq)
+      }), schema)
+
+    val got = df.select(
+      refCosine(col("a"), col("b")).as("ref"),
+      graft.functions.GraftExpressions.cosine_sim(col("a"), col("b")).as("fast"))
+      .collect()
+    got.zip(rows).foreach { case (r, in) =>
+      val ref = if (r.isNullAt(0)) null else r.getDouble(0)
+      val fast = if (r.isNullAt(1)) null else r.getDouble(1)
+      assert(ref == fast ||
+        (ref != null && fast != null &&
+          ref.asInstanceOf[Double].isNaN && fast.asInstanceOf[Double].isNaN),
+        s"mismatch on ${in}: ref=$ref fast=$fast")
+    }
+  }
 }
