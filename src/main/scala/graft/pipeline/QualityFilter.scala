@@ -104,33 +104,47 @@ object QualityFilter {
 
     val wSeq = Window.partitionBy($"conv_id").orderBy($"turn_idx")
     val wDup = Window.partitionBy($"conv_id", $"norm_hash").orderBy($"turn_idx")
-    val wConv = Window.partitionBy($"conv_id")
+    // The vote frame: whole conversation, expressed with wSeq's EXACT
+    // (partition, order) spec plus an unbounded-unbounded frame — an
+    // order-independent integer sum, so values equal the plain
+    // (conv_id) window's, but CollapseWindow can now merge the vote
+    // into the sequence Window operator (r6 ran a third WindowExec
+    // pass — a full buffer-and-copy of the corpus — for the vote).
+    val wConvFull = Window.partitionBy($"conv_id").orderBy($"turn_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
 
     // Conversation language vote: the classifier's language set is
     // FIXED and small, so the deterministic mode (count desc, lang asc)
-    // is a handful of conditional sums over the plain (conv) window —
-    // whose sort requirement (conv) is a prefix of wSeq's (conv, turn),
-    // so the vote shares wSeq's sort. Total intra-partition sorts in
-    // the whole pipeline: 2 (conv,norm_hash,turn) + (conv,turn).
+    // is a handful of conditional sums over the conversation frame —
+    // sharing wSeq's (conv, turn) sort AND its Window operator. Total
+    // intra-partition sorts in the whole pipeline: 2
+    // ((conv,norm_hash,turn) then (conv,turn)); total Window operators:
+    // 2 (pinned by PipelinePlanSpec).
     // Each sum is projected ONCE as a named column and the vote is
     // derived downstream from the attributes: WindowExec does not CSE,
     // so inlining the sums into greatest/coalesce (the round-1 shape)
     // materialized 24 aggregate buffers for 4 distinct sums.
     val langs = LangId.default.langs // sorted; eligible rows only carry these
     val voteSums = langs.toSeq.map(l =>
-      sum(when(eligible && $"lang" === l, 1).otherwise(0)).over(wConv).as(s"cnt_$l"))
+      sum(when(eligible && $"lang" === l, 1).otherwise(0)).over(wConvFull).as(s"cnt_$l"))
     val maxCnt = greatest(langs.toSeq.map(l => col(s"cnt_$l")): _*)
     val convLang = when(maxCnt > 0, coalesce(
       langs.toSeq.map(l => when(col(s"cnt_$l") === maxCnt, lit(l))): _*))
       .otherwise(lit("und"))
 
+    // ONE select holding every window expression: the analyzer groups
+    // window functions by (partition, order) spec — the sequence
+    // row_number/lags and the vote sums share (conv, turn) and land in
+    // ONE Window operator (frames may differ within it); computing the
+    // vote in a later select put a Project between the two Window
+    // nodes, which blocks CollapseWindow and re-buffered the corpus in
+    // a third WindowExec pass (r6 shape).
     val withWindows = byConv
-      .withColumn("dup_rank",
-        when($"is_empty", lit(1)).otherwise(row_number().over(wDup)))
-      .withColumn("is_first", row_number().over(wSeq) === 1)
-      .withColumn("prev_idx", lag($"turn_idx", 1).over(wSeq))
-      .withColumn("prev_ts", lag($"ts", 1).over(wSeq))
-      .select(col("*") +: voteSums: _*)
+      .select(col("*") +: (Seq(
+        when($"is_empty", lit(1)).otherwise(row_number().over(wDup)).as("dup_rank"),
+        (row_number().over(wSeq) === 1).as("is_first"),
+        lag($"turn_idx", 1).over(wSeq).as("prev_idx"),
+        lag($"ts", 1).over(wSeq).as("prev_ts")) ++ voteSums): _*)
       .withColumn("conv_lang", convLang)
 
     // rule evaluation + fused scrub projection shared with the

@@ -75,6 +75,16 @@ class PipelinePlanSpec extends AnyFunSuite {
     assert(sums == langs, s"expected $langs window sums, got $sums in:\n$windowNodes")
   }
 
+  test("flagship windows collapse to two Window operators") {
+    // dup ranking needs the (conv, hash, turn) sort; sequence windows
+    // AND the language vote share ONE (conv, turn) Window operator
+    // (the vote uses the same order spec with an unbounded frame) — a
+    // third WindowExec pass would re-buffer the whole corpus
+    val p = plan(QualityFilter.label(TranscriptGen.generate(spark, 50, 1L, 100)))
+    val windows = "Window \\[".r.findAllIn(p).length
+    assert(windows == 2, s"expected 2 Window operators, got $windows:\n$p")
+  }
+
   test("LSH bucket keys carry no embedding/text payload (ann2/ann3/dd2)") {
     // the posexplode Generate node's carried-through columns must be the
     // id only — round 1 carried the embedding/text into `tables` bucket
