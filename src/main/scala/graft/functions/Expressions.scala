@@ -101,6 +101,58 @@ object GraftExpressions {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
   }
 
+  /** Cosine similarity of two float-array embeddings — the codegen
+    * replacement for the zip_with/aggregate column chain (higher-order
+    * array functions are CodegenFallback: interpreted per row, one
+    * intermediate array per transform). Emulates the column chain's
+    * SQL three-valued logic EXACTLY (asserted element-wise against it
+    * in SimilaritySpec), INCLUDING null array inputs:
+    *  - a norm is null iff its array is null or holds a null element;
+    *  - the dot product is null iff either array is null, lengths
+    *    differ (zip_with pads with null), or a null element exists;
+    *  - `when(na = 0 OR nb = 0, 0.0)` is SQL OR: it fires when EITHER
+    *    norm is provably zero — even when the other side is null (the
+    *    old chain returned 0.0 for a zero vector vs a NULL array);
+    *    otherwise the null dot/norms propagate.
+    * Accumulation order is the same left-to-right fold from 0.0, so
+    * non-null results are bit-identical.
+    */
+  def cosineSim(aD: org.apache.spark.sql.catalyst.util.ArrayData,
+                bD: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Double = {
+    var naNull = aD == null
+    var na = 0.0
+    if (aD != null) {
+      var i = 0
+      val la = aD.numElements()
+      while (i < la) {
+        if (aD.isNullAt(i)) naNull = true
+        else { val v = aD.getFloat(i).toDouble; na += v * v }
+        i += 1
+      }
+    }
+    var nbNull = bD == null
+    var nb = 0.0
+    if (bD != null) {
+      var i = 0
+      val lb = bD.numElements()
+      while (i < lb) {
+        if (bD.isNullAt(i)) nbNull = true
+        else { val v = bD.getFloat(i).toDouble; nb += v * v }
+        i += 1
+      }
+    }
+    if ((!naNull && na == 0.0) || (!nbNull && nb == 0.0)) return 0.0
+    if (naNull || nbNull || aD.numElements() != bD.numElements()) return null
+    var dot = 0.0
+    var i = 0
+    val la = aD.numElements()
+    while (i < la) { dot += aD.getFloat(i).toDouble * bD.getFloat(i).toDouble; i += 1 }
+    dot / java.lang.Math.sqrt(na * nb)
+  }
+
+  private val MaxSentinelLen: Int =
+    graft.rules.RuleConfig.Sentinels.map(_.length).max
+
   /** Whitespace-normalize + fused model scoring (language-ID +
     * perplexity over the dense union tables) + per-turn text metrics in
     * ONE pass — the score stage as a codegen expression instead of a
@@ -112,51 +164,6 @@ object GraftExpressions {
     * Returns struct<lang, lang_conf, ppl, norm_len, norm_hash,
     * is_empty, sym_density, rep_ratio>.
     */
-  /** Cosine similarity of two float-array embeddings — the codegen
-    * replacement for the zip_with/aggregate column chain (higher-order
-    * array functions are CodegenFallback: interpreted per row, one
-    * intermediate array per transform). Emulates the column chain's
-    * SQL three-valued logic EXACTLY (asserted element-wise against it
-    * in SimilaritySpec):
-    *  - norms are null iff their array holds a null element;
-    *  - the dot product is null iff lengths differ (zip_with pads with
-    *    null) or either array holds a null element;
-    *  - `when(na = 0 OR nb = 0, 0.0)` fires only when a norm is
-    *    provably zero; otherwise the null dot/norms propagate.
-    * Accumulation order is the same left-to-right fold from 0.0, so
-    * non-null results are bit-identical.
-    */
-  def cosineSim(aD: org.apache.spark.sql.catalyst.util.ArrayData,
-                bD: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Double = {
-    val la = aD.numElements()
-    val lb = bD.numElements()
-    var naNull = false
-    var na = 0.0
-    var i = 0
-    while (i < la) {
-      if (aD.isNullAt(i)) naNull = true
-      else { val v = aD.getFloat(i).toDouble; na += v * v }
-      i += 1
-    }
-    var nbNull = false
-    var nb = 0.0
-    i = 0
-    while (i < lb) {
-      if (bD.isNullAt(i)) nbNull = true
-      else { val v = bD.getFloat(i).toDouble; nb += v * v }
-      i += 1
-    }
-    if ((!naNull && na == 0.0) || (!nbNull && nb == 0.0)) return 0.0
-    if (la != lb || naNull || nbNull) return null
-    var dot = 0.0
-    i = 0
-    while (i < la) { dot += aD.getFloat(i).toDouble * bD.getFloat(i).toDouble; i += 1 }
-    dot / java.lang.Math.sqrt(na * nb)
-  }
-
-  private val MaxSentinelLen: Int =
-    graft.rules.RuleConfig.Sentinels.map(_.length).max
-
   def scoreAll(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
     val raw = if (s == null) null else s.toString
     val norm = graft.scrub.Scrub.normalizeWsPlain(raw)
@@ -311,18 +318,32 @@ object ScoreAllExpr {
 
 /** Codegen cosine similarity over float-array embeddings (see
   * GraftExpressions.cosineSim for the exact null semantics it
-  * replicates). Nullable: null input arrays, length mismatches and
-  * null elements produce null exactly like the column chain did.
+  * replicates). NOT null-intolerant: a null array on one side with a
+  * zero-norm vector on the other still returns 0.0 (SQL OR in the old
+  * chain's `when`), so null inputs must reach the static call.
+  * Inputs are type-checked to array<float> — the old chain silently
+  * cast other numeric arrays, this expression would misread them.
   */
 case class CosineSimExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
-  override def nullIntolerant: Boolean = true
-  override def nullSafeEval(a: Any, b: Any): Any =
+  override def nullIntolerant: Boolean = false
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim requires array<float> inputs, got " +
+        s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  }
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
     GraftExpressions.cosineSim(
-      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+      left.eval(input).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      right.eval(input).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     import org.apache.spark.sql.catalyst.expressions.codegen.Block._
     val a = left.genCode(ctx)
@@ -332,8 +353,9 @@ case class CosineSimExpr(left: Expression, right: Expression)
       code = code"""
         ${a.code}
         ${b.code}
-        java.lang.Double $tmp = (${a.isNull} || ${b.isNull}) ? null :
-          graft.functions.GraftExpressions.cosineSim(${a.value}, ${b.value});
+        java.lang.Double $tmp = graft.functions.GraftExpressions.cosineSim(
+          ${a.isNull} ? null : ${a.value},
+          ${b.isNull} ? null : ${b.value});
         boolean ${ev.isNull} = $tmp == null;
         double ${ev.value} = ${ev.isNull} ? 0.0 : $tmp.doubleValue();
       """)

@@ -304,6 +304,44 @@ object TextAlgos {
     (starts, ends, nTok)
   }
 
+  /** FNV-1a over tokens[from, until) of `lower` joined by SINGLE
+    * SPACES (separator between tokens, none trailing), then mix64 —
+    * equals hash64 of the joined string without materializing it.
+    * Single implementation shared by [[shingles]]'s short branch and
+    * Decontaminate's word-gram hashing, so the cross-path (and
+    * DuckDB-oracle) hash equality has one definition.
+    */
+  private[graft] def hashJoinedTokens(lower: String, starts: Array[Int],
+                                      ends: Array[Int], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var t = from
+    while (t < until) {
+      if (t > from) { h ^= ' '.toLong; h *= 0x100000001b3L }
+      var p = starts(t)
+      while (p < ends(t)) { h ^= lower.charAt(p).toLong; h *= 0x100000001b3L; p += 1 }
+      t += 1
+    }
+    mix64(h)
+  }
+
+  /** FNV-1a over tokens[from, until) with a space hashed AFTER every
+    * token (the historical shingle-window shape — trailing separator
+    * included), then mix64.
+    */
+  private def hashShingleWindow(lower: String, starts: Array[Int],
+                                ends: Array[Int], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var t = from
+    while (t < until) {
+      var p = starts(t)
+      while (p < ends(t)) { h ^= lower.charAt(p).toLong; h *= 0x100000001b3L; p += 1 }
+      h ^= ' '.toLong
+      h *= 0x100000001b3L
+      t += 1
+    }
+    mix64(h)
+  }
+
   def shingles(s: String, k: Int): Array[Long] = {
     if (s == null) return Array.emptyLongArray
     // Locale.ROOT: keep tokenization identical to DuckDB lower() under
@@ -312,32 +350,12 @@ object TextAlgos {
     val (starts, ends, nTok) = tokenOffsets(lower)
     if (nTok < k) {
       if (nTok == 0) Array.emptyLongArray
-      else {
-        // hash64 of the tokens joined by single spaces (FNV-1a + mix64)
-        var h = 0xcbf29ce484222325L
-        var t = 0
-        while (t < nTok) {
-          if (t > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
-          var p = starts(t)
-          while (p < ends(t)) { h ^= lower.charAt(p).toLong; h *= 0x100000001b3L; p += 1 }
-          t += 1
-        }
-        Array(mix64(h))
-      }
+      else Array(hashJoinedTokens(lower, starts, ends, 0, nTok))
     } else {
       val out = new Array[Long](nTok - k + 1)
       var w = 0
       while (w + k <= nTok) {
-        var h = 0xcbf29ce484222325L
-        var j = w
-        while (j < w + k) {
-          var p = starts(j)
-          while (p < ends(j)) { h ^= lower.charAt(p).toLong; h *= 0x100000001b3L; p += 1 }
-          h ^= ' '.toLong
-          h *= 0x100000001b3L
-          j += 1
-        }
-        out(w) = mix64(h)
+        out(w) = hashShingleWindow(lower, starts, ends, w, w + k)
         w += 1
       }
       out

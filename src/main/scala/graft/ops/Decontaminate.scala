@@ -72,20 +72,13 @@ object Decontaminate {
     val (starts, ends, nTok) = TextAlgos.tokenOffsets(lower)
     if (nTok < n) return Array.emptyLongArray
     // hash64 of each n-token window joined by single spaces, computed
-    // straight from the token offsets (the StringBuilder + String it
-    // replaces allocated per gram; FNV-1a over the identical chars)
+    // straight from the token offsets (shared single implementation —
+    // TextAlgos.hashJoinedTokens — so this hash and the shingle hash
+    // can never drift apart)
     val out = new Array[Long](nTok - n + 1)
     var i = 0
     while (i + n <= nTok) {
-      var h = 0xcbf29ce484222325L
-      var j = i
-      while (j < i + n) {
-        if (j > i) { h ^= ' '.toLong; h *= 0x100000001b3L }
-        var p = starts(j)
-        while (p < ends(j)) { h ^= lower.charAt(p).toLong; h *= 0x100000001b3L; p += 1 }
-        j += 1
-      }
-      out(i) = TextAlgos.mix64(h)
+      out(i) = TextAlgos.hashJoinedTokens(lower, starts, ends, i, i + n)
       i += 1
     }
     java.util.Arrays.sort(out)

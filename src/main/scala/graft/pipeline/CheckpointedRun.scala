@@ -68,12 +68,16 @@ object CheckpointedRun {
     val todo = (0 until nBuckets).filterNot(done)
 
     // Fully-committed no-op resume: nothing will be relabeled, so the
-    // expensive opt-in passes (full-corpus model scoring for the IQR
-    // bounds, the benchmark gram-set fingerprint) exist only to rebuild
-    // labeling.cfg's computed values for the guard comparison. Compare
-    // the recorded PARAMETERS instead and return — same failure
-    // semantics on a parameter mismatch, zero corpus passes when the
-    // table is already complete.
+    // expensive CORPUS passes (full-corpus model scoring for the IQR
+    // bounds) exist only to rebuild labeling.cfg's computed values for
+    // the guard comparison. Compare the recorded parameters instead
+    // and return — same failure semantics on a parameter mismatch,
+    // zero corpus passes when the table is already complete. The
+    // decontamination line keeps its CONTENT check: the bench
+    // fingerprint scans only the (small by design) eval set, so a
+    // rewritten-under-the-table eval set still fails even the no-op
+    // resume; only the ppl_iqr bounds narrow to a k-only compare here
+    // (recomputing them IS the full-corpus pass being skipped).
     if (todo.isEmpty) {
       val cfgFile = java.nio.file.Paths.get(outRoot, "_graft", "labeling.cfg")
       if (java.nio.file.Files.exists(cfgFile)) {
@@ -95,9 +99,12 @@ object CheckpointedRun {
           case None => line("ppl_iqr=").isEmpty
         }
         val ctOk = decontaminate match {
-          case Some(d) => line("decontaminate=").exists(l =>
-            l.startsWith(s"decontaminate=${d.n},${d.minMatches},${d.benchTextCol},") &&
-              l.endsWith(s",${d.benchPath}"))
+          case Some(d) =>
+            val (nGrams, xorSig) = graft.ops.Decontaminate.benchFingerprint(
+              input.sparkSession.read.parquet(d.benchPath), d.benchTextCol, d.n)
+            line("decontaminate=").contains(
+              s"decontaminate=${d.n},${d.minMatches},${d.benchTextCol}," +
+                s"$nGrams:${java.lang.Long.toHexString(xorSig)},${d.benchPath}")
           case None => line("decontaminate=").isEmpty
         }
         require(cndOk && bpOk && iqrOk && ctOk,

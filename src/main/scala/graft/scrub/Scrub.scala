@@ -120,6 +120,14 @@ object Scrub {
   private val GateSlur = chainRules.indexOf(RuleConfig.ScrubSlur)
   private val slurToks: Array[String] =
     RuleConfig.SlurTokens.map(_.toLowerCase(java.util.Locale.ROOT)).toArray
+  // the gate's ASCII-case-insensitive scan (and `(?i)` itself, which
+  // only folds ASCII) is sound only for non-empty lowercase-ASCII
+  // tokens — fail fast if the configured list ever drifts
+  require(RuleConfig.SlurTokens.forall(t =>
+    t.nonEmpty && t.forall(c => c < 128) &&
+      t == t.toLowerCase(java.util.Locale.ROOT)),
+    "SlurTokens must be non-empty lowercase ASCII for the gated scan " +
+      "and the (?i) regex to agree; rework gateMask before widening them")
   private val slurFirstChars: Array[Boolean] = {
     val a = new Array[Boolean](128)
     slurToks.foreach { t => if (t.nonEmpty && t.charAt(0) < 128) a(t.charAt(0)) = true }

@@ -327,6 +327,23 @@ class CheckpointSpec extends AnyFunSuite {
         decontaminate = Some(cfg.copy(minMatches = 3)))
     }
 
+    // content guard survives the fully-committed no-op fast path: the
+    // bench set rewritten IN PLACE (same path, different rows) must
+    // fail even a resume that would otherwise touch nothing — the
+    // fingerprint scans only the small eval set, so the fast path can
+    // afford to keep checking it
+    Seq("a completely different eval prompt", "another one")
+      .toDF("text").write.mode("overwrite").parquet(benchDir)
+    intercept[IllegalArgumentException] {
+      CheckpointedRun.run(ds, root1, 4, decontaminate = Some(cfg))
+    }
+    // restore the original eval set; the matching no-op resume passes
+    // and computes nothing
+    Seq(s"eval prompt one $leak", "eval prompt two entirely clean")
+      .toDF("text").write.mode("overwrite").parquet(benchDir)
+    val resNoop = CheckpointedRun.run(ds, root1, 4, decontaminate = Some(cfg))
+    assert(resNoop.bucketsComputed.isEmpty && resNoop.bucketsSkipped == (0 until 4))
+
     // composed with boilerplate + conv-near-dup: clone the planted
     // conversations so a contaminated turn can also be conv_neardup;
     // lineage must list boilerplate < contaminated < conv_neardup

@@ -102,6 +102,12 @@ class SimilaritySpec extends AnyFunSuite {
       (Array[java.lang.Float](1f, 2f), Array[java.lang.Float](null, 2f)), // null element right
       (Array[java.lang.Float](null, null), Array[java.lang.Float](0f, 0f)), // nulls vs zero norm
       (null, Array[java.lang.Float](1f, 2f)), // null array
+      (Array[java.lang.Float](1f, 2f), null), // null array right
+      (null, null), // both null
+      // SQL OR: zero norm on one side fires the 0.0 branch even when
+      // the OTHER side is a null array (true||null = TRUE)
+      (Array[java.lang.Float](0f, 0f), null),
+      (null, Array[java.lang.Float](0f, 0f)),
       (Array[java.lang.Float](), Array[java.lang.Float]()), // empty arrays
       (Array[java.lang.Float](Float.NaN, 1f), Array[java.lang.Float](1f, 1f)),
       (Array[java.lang.Float](1e30f, 1e30f), Array[java.lang.Float](1e30f, -1e30f)))
