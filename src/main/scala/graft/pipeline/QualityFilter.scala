@@ -13,21 +13,23 @@ import graft.scrub.Scrub
 /** The quality-filter pipeline (north rule): typed Dataset in, labeled +
   * scrubbed DataFrame out.
   *
-  * Shape (one object pass + one shuffle + windows + one projection):
-  *  1. mapPartitions scoring pass (the only non-Catalyst stage):
-  *     broadcast-model language-ID + perplexity, plus every per-turn
-  *     text metric the rules need (norm length/hash, sentinel flag,
-  *     symbol density, repetition ratio) — computed once per row while
-  *     the String is already materialized.
+  * Shape (whole-stage-codegen throughout + one shuffle + windows + one
+  * projection):
+  *  1. Fused scoring projection (ScoreAllExpr, r7 — replaced the r6
+  *     mapPartitions object pass): per-executor dense-table
+  *     language-ID + perplexity, plus every per-turn text metric the
+  *     rules need (norm length/hash, sentinel flag, symbol density,
+  *     repetition ratio) — computed once per row while the String is
+  *     already materialized, with no Turn/ScoredTurn serialization.
   *  2. ONE repartition by conv_id; all conversation windows ride that
-  *     partitioning (no further exchanges). The language vote is
-  *     conditional sums over the plain (conv_id) window, which shares
-  *     the other windows' sorts: 2 intra-partition sorts total
-  *     ((conv,norm_hash,turn) then (conv,turn)), over SLIM rows (no
-  *     normalized text — see ScoredTurn).
+  *     partitioning (no further exchanges). The language vote shares
+  *     the sequence windows' (conv, turn) sort AND Window operator
+  *     (unbounded frame over the same spec): 2 intra-partition sorts
+  *     and 2 Window operators total, over SLIM rows (no normalized
+  *     text — see ScoredTurn).
   *  3. Final projection: rule flags → drop_reasons lineage array,
-  *     normalized text recomputed by codegen'd regexes, PII scrub
-  *     chain, scrub counts.
+  *     normalized text recomputed + gated PII scrub chain + counts in
+  *     one fused expression (ScrubAllExpr).
   *
   * Scale notes (SURVEY.md §4.2/§7.5): rules are literal-pattern
   * regexes / precomputed metrics (whole-stage codegen); the vote is a

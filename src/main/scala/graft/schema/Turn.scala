@@ -24,8 +24,8 @@ final case class Turn(
 
 /** A turn annotated with model scores (language-ID + perplexity) and
   * per-turn text metrics — everything per-row the conversation windows
-  * need, produced by the single mapPartitions inference pass (broadcast
-  * models). Deliberately SLIM: the normalized text itself is NOT
+  * need, produced by the fused scoring projection (ScoreAllExpr;
+  * per-executor dense model tables). Deliberately SLIM: the normalized text itself is NOT
   * carried (only its 64-bit hash, length, and derived metrics), because
   * these rows ride through the window-stage sorts; at 32 concurrent
   * sort tasks the stage is memory-bandwidth-bound and every byte per
